@@ -1,0 +1,170 @@
+"""Wire-format tests for the hand-rolled meta.pb codec: round trips through
+our codec and cross-validation against the installed google.protobuf parser
+to prove conformance with the reference schema
+(point_viewer_proto_rust/src/proto.proto)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from point_cloud_viewer_tpu.core.attributes import AttributeDataType
+from point_cloud_viewer_tpu.protos import pbwire as pb
+from point_cloud_viewer_tpu.protos.meta import (
+    AttributeProto,
+    BoundingBoxProto,
+    MetaProto,
+    OctreeMetaProto,
+    OctreeNodeProto,
+    PositionEncodingProto,
+    S2CellProto,
+    S2MetaProto,
+    decode_node_id,
+    encode_node_id,
+)
+
+
+def test_varint_roundtrip():
+    for v in [0, 1, 127, 128, 300, 2**32, 2**64 - 1]:
+        buf = pb.encode_varint(v)
+        out, pos = pb.decode_varint(buf, 0)
+        assert out == v and pos == len(buf)
+
+
+def test_node_id_roundtrip():
+    for value in [0, 5 << 120 | 0o12345, (21 << 120) | (1 << 63) | 12345]:
+        assert decode_node_id(encode_node_id(value)) == value
+
+
+def test_node_id_deprecated_migration():
+    # A version-9 NodeId stored as (level=3, index=0o123) must decode to the
+    # packed representation.
+    w = pb.FieldWriter()
+    w.varint(1, 3, signed=True)
+    w.varint(2, 0o123, signed=True)
+    assert decode_node_id(w.finish()) == (3 << 120) | 0o123
+
+
+def _sample_meta() -> MetaProto:
+    nodes = [
+        OctreeNodeProto(id=0, num_points=12345, position_encoding=PositionEncodingProto.UINT16),
+        OctreeNodeProto(
+            id=(2 << 120) | 0o45,
+            num_points=99,
+            position_encoding=PositionEncodingProto.FLOAT32,
+        ),
+    ]
+    return MetaProto(
+        version=13,
+        bounding_box=BoundingBoxProto(min=(-1.5, 2.0, -3.25), max=(4.0, 5.5, 6.75)),
+        octree=OctreeMetaProto(resolution=0.001, nodes=nodes),
+    )
+
+
+def test_meta_roundtrip_octree():
+    meta = _sample_meta()
+    decoded = MetaProto.decode(meta.encode())
+    assert decoded.version == 13
+    assert decoded.bounding_box == meta.bounding_box
+    assert decoded.s2 is None
+    assert decoded.octree.resolution == 0.001
+    assert decoded.octree.nodes == meta.octree.nodes
+
+
+def test_meta_roundtrip_s2():
+    meta = MetaProto(
+        version=13,
+        bounding_box=BoundingBoxProto(min=(0, 0, 0), max=(1, 1, 1)),
+        s2=S2MetaProto(
+            cells=[S2CellProto(id=2**61 + 5, num_points=7)],
+            attributes=[
+                AttributeProto("color", AttributeDataType.U8VEC3),
+                AttributeProto("intensity", AttributeDataType.F32),
+            ],
+        ),
+    )
+    decoded = MetaProto.decode(meta.encode())
+    assert decoded.s2.cells == meta.s2.cells
+    assert decoded.s2.attributes == meta.s2.attributes
+    assert decoded.octree is None
+
+
+def test_google_protobuf_cross_validation():
+    """Parse our bytes with the official protobuf library against a schema
+    built from the reference .proto definition (field numbers only)."""
+    proto = pytest.importorskip("google.protobuf")
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+    pool = descriptor_pool.DescriptorPool()
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "pv.proto"
+    fdp.package = "pv"
+    fdp.syntax = "proto3"
+
+    v3d = fdp.message_type.add()
+    v3d.name = "Vector3d"
+    for i, ax in enumerate("xyz", 1):
+        f = v3d.field.add()
+        f.name, f.number, f.type, f.label = ax, i, 1, 1  # TYPE_DOUBLE
+
+    bbox = fdp.message_type.add()
+    bbox.name = "AxisAlignedCuboid"
+    for name, num in [("min", 3), ("max", 4)]:
+        f = bbox.field.add()
+        f.name, f.number, f.type, f.label = name, num, 11, 1  # TYPE_MESSAGE
+        f.type_name = ".pv.Vector3d"
+
+    nid = fdp.message_type.add()
+    nid.name = "NodeId"
+    for name, num in [("high", 3), ("low", 4)]:
+        f = nid.field.add()
+        f.name, f.number, f.type, f.label = name, num, 4, 1  # TYPE_UINT64
+
+    onode = fdp.message_type.add()
+    onode.name = "OctreeNode"
+    f = onode.field.add()
+    f.name, f.number, f.type, f.label = "position_encoding", 2, 5, 1  # TYPE_INT32
+    f = onode.field.add()
+    f.name, f.number, f.type, f.label = "num_points", 3, 3, 1  # TYPE_INT64
+    f = onode.field.add()
+    f.name, f.number, f.type, f.label = "id", 4, 11, 1
+    f.type_name = ".pv.NodeId"
+
+    ometa = fdp.message_type.add()
+    ometa.name = "OctreeMeta"
+    f = ometa.field.add()
+    f.name, f.number, f.type, f.label = "resolution", 2, 1, 1
+    f = ometa.field.add()
+    f.name, f.number, f.type, f.label = "nodes", 3, 11, 3  # repeated
+    f.type_name = ".pv.OctreeNode"
+
+    meta = fdp.message_type.add()
+    meta.name = "Meta"
+    f = meta.field.add()
+    f.name, f.number, f.type, f.label = "version", 1, 5, 1
+    f = meta.field.add()
+    f.name, f.number, f.type, f.label = "bounding_box", 4, 11, 1
+    f.type_name = ".pv.AxisAlignedCuboid"
+    f = meta.field.add()
+    f.name, f.number, f.type, f.label = "octree", 6, 11, 1
+    f.type_name = ".pv.OctreeMeta"
+
+    pool.Add(fdp)
+    msg_cls = message_factory.GetMessageClass(pool.FindMessageTypeByName("pv.Meta"))
+
+    ours = _sample_meta()
+    parsed = msg_cls.FromString(ours.encode())
+    assert parsed.version == 13
+    assert parsed.bounding_box.min.x == -1.5
+    assert parsed.bounding_box.max.z == 6.75
+    assert parsed.octree.resolution == 0.001
+    assert len(parsed.octree.nodes) == 2
+    assert parsed.octree.nodes[0].num_points == 12345
+    assert parsed.octree.nodes[1].id.high == (2 << 120 | 0o45) >> 64
+    assert parsed.octree.nodes[1].id.low == ((2 << 120) | 0o45) & ((1 << 64) - 1)
+
+    # And decode the official library's serialization with our codec.
+    reserialized = parsed.SerializeToString()
+    redecoded = MetaProto.decode(reserialized)
+    assert redecoded.octree.nodes == ours.octree.nodes
+    assert redecoded.bounding_box == ours.bounding_box
