@@ -1,0 +1,381 @@
+"""Sort-based octree builder.
+
+TPU-first redesign of the reference pipeline
+(src/octree/generation.rs:272-403).  The reference recursively splits
+oversized nodes, re-reading and rewriting node files at every level; here
+the whole tree is derived from ONE spatial sort plus vectorized scans:
+
+1. quantize positions onto the 2^D root grid, Morton-encode (x msb — same
+   child convention as ChildIndex::from_bounding_cube, strict-> comparisons
+   replaced by the grid floor), and sort once.  After the sort every octree
+   node is a contiguous code range.
+2. top-down split discovery: a node splits iff it has more than
+   MAX_POINTS_PER_NODE points and its edge exceeds the resolution (reference
+   should_split_node, generation.rs:128-150); the root always splits.
+   Child ranges come from searchsorted on code prefixes — no point data is
+   touched.
+3. bottom-up LOD subsampling: every node sends each 8th point of its final
+   list to its parent (the reference's i%8==0 rule, generation.rs:224-229),
+   level by level, as pure index arithmetic on the sorted order.
+4. vectorized encode + write: all nodes of a level share one position
+   encoding; positions of the entire level are fixpoint-encoded in a single
+   call with per-point node minima, then sliced into per-node files.
+
+Output is the reference's on-disk format: meta.pb v13 + per-node .xyz/.rgb/
+... files, so the reference's viewers load our trees directly.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..core.attributes import AttributeDataType
+from ..core.constants import CURRENT_VERSION, MAX_POINTS_PER_NODE, META_FILENAME
+from ..core.points_batch import PointsBatch
+from ..io.node_io import write_node_files
+from ..math.geometry import Aabb, Cube
+from ..ops import morton
+from ..ops.codec import PositionEncoding, encode_positions, position_encoding_for
+from ..protos.meta import (
+    BoundingBoxProto,
+    MetaProto,
+    OctreeMetaProto,
+    OctreeNodeProto,
+)
+from .node_id import NodeId, bounding_cubes
+
+
+@dataclass
+class _LevelNodes:
+    """All nodes of one level: sorted paths + concatenated point-index lists
+    (indices into the Morton-sorted point order)."""
+
+    paths: np.ndarray  # (K,) uint64, strictly increasing
+    offsets: np.ndarray  # (K+1,) int64 into idx
+    idx: np.ndarray  # (total,) int64
+
+    @property
+    def counts(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+
+@dataclass
+class BuildResult:
+    directory: str
+    root_cube: Cube
+    resolution: float
+    bounding_box: Aabb
+    nodes: List[Tuple[NodeId, int]]  # (id, num_points) of every recorded node
+    depth_cap: int
+
+    @property
+    def num_points(self) -> int:
+        return sum(n for _, n in self.nodes)
+
+
+def _materialize(
+    data: Union[PointsBatch, Iterable[PointsBatch]]
+) -> PointsBatch:
+    if isinstance(data, PointsBatch):
+        return data
+    return PointsBatch.concatenate(list(data))
+
+
+def compute_depth_cap(edge_length: float, resolution: float) -> int:
+    """Deepest node level: keep descending while a node at level d-1 may
+    still split (its edge > resolution), capped by the 63-bit code budget.
+    The root always splits, so the cap is at least 1."""
+    depth = 1
+    while depth < morton.MAX_DEPTH and edge_length / (1 << depth) > resolution:
+        depth += 1
+    return depth
+
+
+def build_octree(
+    output_directory: str,
+    resolution: float,
+    data: Union[PointsBatch, Iterable[PointsBatch]],
+    attributes: Optional[Sequence[str]] = None,
+    bounding_box: Optional[Aabb] = None,
+    progress: bool = False,
+) -> BuildResult:
+    """Build a reference-format octree directory from points.
+
+    `attributes`: which batch attributes to store (default: all present).
+    """
+    batch = _materialize(data)
+    if attributes is not None:
+        missing = [a for a in attributes if a not in batch.attributes]
+        if missing:
+            raise ValueError(f"requested attributes not in input: {missing}")
+        batch = PointsBatch(
+            position=batch.position,
+            attributes={a: batch.attributes[a] for a in attributes},
+        )
+    n = len(batch)
+    if bounding_box is None:
+        bounding_box = Aabb.bounding_points(batch.position)
+    root_cube = Cube.bounding(bounding_box)
+    os.makedirs(output_directory, exist_ok=True)
+
+    if n == 0:
+        meta = _meta_proto(resolution, bounding_box, [])
+        with open(os.path.join(output_directory, META_FILENAME), "wb") as f:
+            f.write(meta.encode())
+        return BuildResult(output_directory, root_cube, resolution, bounding_box, [], 0)
+
+    depth_cap = compute_depth_cap(root_cube.edge_length, resolution)
+
+    # --- 1. Morton sort --------------------------------------------------
+    cells = morton.quantize(batch.position, root_cube.min, root_cube.edge_length, depth_cap)
+    codes = morton.morton_encode(cells)
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    sorted_batch = batch.take(order)
+
+    # --- 2. top-down split discovery -------------------------------------
+    levels = _discover_levels(codes, n, depth_cap, root_cube.edge_length, resolution)
+
+    # --- 3. bottom-up LOD subsampling ------------------------------------
+    final_nodes = _subsample_bottom_up(levels)
+
+    # --- 4. encode + write ------------------------------------------------
+    nodes = _write_levels(
+        output_directory, final_nodes, sorted_batch, root_cube, resolution
+    )
+
+    meta = _meta_proto(resolution, bounding_box, nodes)
+    with open(os.path.join(output_directory, META_FILENAME), "wb") as f:
+        f.write(meta.encode())
+    return BuildResult(
+        output_directory, root_cube, resolution, bounding_box, nodes, depth_cap
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def _discover_levels(
+    codes: np.ndarray,
+    n: int,
+    depth_cap: int,
+    root_edge: float,
+    resolution: float,
+) -> Dict[int, _LevelNodes]:
+    """Walk levels top-down over the sorted codes; returns, per level, the
+    leaf nodes created there (interior nodes enter later via subsampling).
+    The root (level 0) is always split."""
+    leaves_per_level: Dict[int, List[Tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+    # Currently-split nodes: ranges + paths.
+    split_paths = np.zeros(1, dtype=np.uint64)
+    split_starts = np.zeros(1, dtype=np.int64)
+    split_ends = np.full(1, n, dtype=np.int64)
+
+    leaf_acc: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    for level in range(1, depth_cap + 1):
+        k = len(split_paths)
+        shift = np.uint64(3 * (depth_cap - level))
+        child_paths = (split_paths[:, None] << np.uint64(3)) | np.arange(8, dtype=np.uint64)
+        bounds = child_paths << shift  # first code of each child cell
+        starts = np.searchsorted(codes, bounds.ravel(), side="left").astype(np.int64)
+        ends = np.concatenate(
+            [starts.reshape(k, 8)[:, 1:], split_ends[:, None]], axis=1
+        ).ravel()
+        counts = ends - starts
+        nonempty = counts > 0
+
+        edge = root_edge / (1 << level)
+        can_split = level < depth_cap and edge > resolution
+        if can_split:
+            is_leaf = nonempty & (counts <= MAX_POINTS_PER_NODE)
+        else:
+            is_leaf = nonempty
+
+        sel = is_leaf
+        if sel.any():
+            leaf_acc[level] = (
+                child_paths.ravel()[sel],
+                np.stack([starts[sel], ends[sel]], axis=1),
+            )
+
+        splitting = nonempty & ~is_leaf
+        split_paths = child_paths.ravel()[splitting]
+        split_starts = starts[splitting]
+        split_ends = ends[splitting]
+        if len(split_paths) == 0:
+            break
+
+    # Materialize leaf index lists per level.
+    out: Dict[int, _LevelNodes] = {}
+    for level, (paths, ranges) in leaf_acc.items():
+        counts = ranges[:, 1] - ranges[:, 0]
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        idx = _ranges_to_indices(ranges)
+        out[level] = _LevelNodes(paths=paths, offsets=offsets, idx=idx)
+    return out
+
+
+def _ranges_to_indices(ranges: np.ndarray) -> np.ndarray:
+    """[(start, end)] -> concatenated arange(start, end) per row."""
+    counts = ranges[:, 1] - ranges[:, 0]
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    # start of each output segment
+    seg_offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    out = np.repeat(ranges[:, 0] - seg_offsets, counts)
+    return out + np.arange(total, dtype=np.int64)
+
+
+def _merge_levels(a: _LevelNodes, b: _LevelNodes) -> _LevelNodes:
+    """Merge two disjoint node sets of the same level, keeping paths sorted."""
+    paths = np.concatenate([a.paths, b.paths])
+    order = np.argsort(paths, kind="stable")
+    counts = np.concatenate([a.counts, b.counts])[order]
+    all_segments = [a.idx[a.offsets[i] : a.offsets[i + 1]] for i in range(len(a.paths))]
+    all_segments += [b.idx[b.offsets[i] : b.offsets[i + 1]] for i in range(len(b.paths))]
+    segments = [all_segments[i] for i in order]
+    idx = np.concatenate(segments) if segments else np.empty(0, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return _LevelNodes(paths=paths[order], offsets=offsets, idx=idx)
+
+
+def _subsample_bottom_up(levels: Dict[int, _LevelNodes]) -> Dict[int, _LevelNodes]:
+    """Promote every 8th point of each node to its parent, deepest level
+    first; returns the FINAL point lists per level (what gets written)."""
+    if not levels:
+        return {}
+    final: Dict[int, _LevelNodes] = {}
+    deepest = max(levels)
+    current: Optional[_LevelNodes] = None  # all nodes at `level`
+    for level in range(deepest, 0, -1):
+        node_set = levels.get(level)
+        if current is not None and node_set is not None:
+            node_set = _merge_levels(current, node_set)
+        elif current is not None:
+            node_set = current
+        if node_set is None:
+            current = None
+            continue
+
+        counts = node_set.counts
+        pos_in_node = np.arange(len(node_set.idx), dtype=np.int64) - np.repeat(
+            node_set.offsets[:-1], counts
+        )
+        promote = pos_in_node % 8 == 0
+
+        # Final content of this level's nodes.
+        keep_counts = counts - _segment_sum_bool(promote, node_set.offsets)
+        final[level] = _LevelNodes(
+            paths=node_set.paths,
+            offsets=np.concatenate([[0], np.cumsum(keep_counts)]),
+            idx=node_set.idx[~promote],
+        )
+
+        # Parent nodes: group promoted points by parent path (children are
+        # sorted, so each parent's children are consecutive).
+        parent_of_node = node_set.paths >> np.uint64(3)
+        parent_paths, parent_starts = np.unique(parent_of_node, return_index=True)
+        promoted_counts = counts - keep_counts
+        parent_counts = np.add.reduceat(promoted_counts, parent_starts)
+        current = _LevelNodes(
+            paths=parent_paths,
+            offsets=np.concatenate([[0], np.cumsum(parent_counts)]),
+            idx=node_set.idx[promote],
+        )
+    if current is not None:
+        final[0] = current  # the root keeps everything it received
+    return final
+
+
+def _segment_sum_bool(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    cs = np.concatenate([[0], np.cumsum(mask)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+def _write_levels(
+    directory: str,
+    final_nodes: Dict[int, _LevelNodes],
+    sorted_batch: PointsBatch,
+    root_cube: Cube,
+    resolution: float,
+) -> List[Tuple[NodeId, int]]:
+    """Encode per level (one encoding per level) and write node files."""
+    recorded: List[Tuple[NodeId, int]] = []
+    jobs = []
+    for level in sorted(final_nodes):
+        nodes = final_nodes[level]
+        k = len(nodes.paths)
+        levels_arr = np.full(k, level, dtype=np.uint8)
+        mins, edges = bounding_cubes(levels_arr, nodes.paths, root_cube)
+        edge = root_cube.edge_length / (1 << level)
+        encoding = position_encoding_for(edge, resolution)
+
+        # Per-point node geometry -> one vectorized encode for the level.
+        counts = nodes.counts
+        pt_min = np.repeat(mins, counts, axis=0)
+        pt_edge = np.repeat(edges, counts)
+        positions = sorted_batch.position[nodes.idx]
+        encoded = encode_positions(positions, pt_min, pt_edge, encoding)
+
+        attrs = {
+            name: arr[nodes.idx] for name, arr in sorted_batch.attributes.items()
+        }
+        for i in range(k):
+            node_id = NodeId.from_level_index(level, int(nodes.paths[i]))
+            lo, hi_ = int(nodes.offsets[i]), int(nodes.offsets[i + 1])
+            recorded.append((node_id, hi_ - lo))
+            jobs.append(
+                (
+                    os.path.join(directory, str(node_id)),
+                    encoded[lo:hi_],
+                    {name: a[lo:hi_] for name, a in attrs.items()},
+                )
+            )
+
+    with ThreadPoolExecutor(max_workers=min(32, max(4, os.cpu_count() or 4))) as pool:
+        list(pool.map(lambda j: write_node_files(*j), jobs))
+    return recorded
+
+
+def _meta_proto(
+    resolution: float, bounding_box: Aabb, nodes: List[Tuple[NodeId, int]]
+) -> MetaProto:
+    root_cube_edge = Cube.bounding(bounding_box).edge_length
+    node_protos = []
+    for node_id, count in sorted(nodes, key=lambda t: t[0].value):
+        edge = root_cube_edge / (1 << node_id.level)
+        node_protos.append(
+            OctreeNodeProto(
+                id=node_id.value,
+                num_points=count,
+                position_encoding=position_encoding_for(edge, resolution).to_proto(),
+            )
+        )
+    return MetaProto(
+        version=CURRENT_VERSION,
+        bounding_box=BoundingBoxProto(
+            min=tuple(bounding_box.mins), max=tuple(bounding_box.maxs)
+        ),
+        octree=OctreeMetaProto(resolution=resolution, nodes=node_protos),
+    )
+
+
+def build_octree_from_file(
+    output_directory: str,
+    resolution: float,
+    filename: str,
+    attributes: Optional[Sequence[str]] = None,
+) -> BuildResult:
+    """PLY file -> octree directory (reference: generation.rs:272-287)."""
+    from ..io.ply import PlyReader
+
+    reader = PlyReader(filename)
+    batch = reader.read_all()
+    return build_octree(output_directory, resolution, batch, attributes=attributes)

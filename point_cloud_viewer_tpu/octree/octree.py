@@ -1,0 +1,183 @@
+"""The Octree container: metadata table + vectorized traversal and queries.
+
+Where the reference walks a NodeId->NodeMeta hash map with a BinaryHeap
+(src/octree/mod.rs:228-283), this container keeps ALL node metadata as flat
+arrays (levels, paths, counts, cube minima/edges) so that visible-node
+selection and location queries are single vectorized passes:
+
+* get_visible_nodes: SAT-cull every node cube against the frustum and order
+  survivors by projected screen size — the same visible set as the
+  reference's traversal; ordering is a global size sort rather than lazy
+  heap order (a strictly better LOD priority approximation).
+* nodes_in_location: one batched SAT relation test of all node AABBs
+  against the query geometry.
+
+Node point data is decoded through io.node_io.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.attributes import (
+    AttributeDataType,
+    OCTREE_STANDARD_ATTRIBUTES,
+)
+from ..core.constants import CURRENT_VERSION
+from ..core.points_batch import PointsBatch
+from ..io.node_io import DataProvider, OnDiskDataProvider, read_node_batch
+from ..math.geometry import Aabb, Cube
+from ..ops.codec import PositionEncoding
+from ..protos.meta import MetaProto
+from .node_id import NodeId, bounding_cubes, unpack_ids
+
+_CORNER_UNIT = np.array(
+    [[x, y, z] for z in (0, 1) for y in (0, 1) for x in (0, 1)], dtype=np.float64
+)  # (8, 3)
+
+
+@dataclass
+class NodeMeta:
+    num_points: int
+    position_encoding: PositionEncoding
+    cube_min: np.ndarray
+    edge_length: float
+
+
+class Octree:
+    """An on-disk octree opened for querying/serving."""
+
+    def __init__(self, data_provider: DataProvider) -> None:
+        self.data_provider = data_provider
+        meta = data_provider.meta_proto()
+        if meta.octree is None:
+            raise ValueError("No octree meta found")
+        self.meta_version = meta.version
+        self.resolution = meta.octree.resolution
+        self.bounding_box = Aabb(meta.bounding_box.min, meta.bounding_box.max)
+        self.root_cube = Cube.bounding(self.bounding_box)
+        # Hardcoded octree attribute schema (reference: src/octree/mod.rs:52-72).
+        self.attribute_data_types: Dict[str, AttributeDataType] = dict(
+            OCTREE_STANDARD_ATTRIBUTES
+        )
+
+        ids = [NodeId(n.id) for n in meta.octree.nodes]
+        self.node_ids = ids
+        self.levels, self.paths = unpack_ids(ids)
+        self.num_points = np.array(
+            [n.num_points for n in meta.octree.nodes], dtype=np.int64
+        )
+        self.encodings = [
+            PositionEncoding.from_proto(n.position_encoding)
+            for n in meta.octree.nodes
+        ]
+        self.cube_mins, self.cube_edges = bounding_cubes(
+            self.levels, self.paths, self.root_cube
+        )
+        self._index: Dict[int, int] = {n.value: i for i, n in enumerate(ids)}
+
+    @classmethod
+    def from_directory(cls, directory: str) -> "Octree":
+        return cls(OnDiskDataProvider(directory))
+
+    def __len__(self) -> int:
+        return len(self.node_ids)
+
+    # -- node lookup -------------------------------------------------------
+
+    def node_meta(self, node_id: NodeId) -> NodeMeta:
+        i = self._index[node_id.value]
+        return NodeMeta(
+            num_points=int(self.num_points[i]),
+            position_encoding=self.encodings[i],
+            cube_min=self.cube_mins[i],
+            edge_length=float(self.cube_edges[i]),
+        )
+
+    def node_corners(self) -> np.ndarray:
+        """(K, 8, 3) world-space corners of every node's cube."""
+        return (
+            self.cube_mins[:, None, :]
+            + _CORNER_UNIT[None, :, :] * self.cube_edges[:, None, None]
+        )
+
+    # -- traversal -----------------------------------------------------------
+
+    def get_visible_nodes(self, projection_matrix: np.ndarray) -> List[NodeId]:
+        """Nodes whose cube intersects the frustum of `projection_matrix`
+        (4x4, clip_from_query), largest projected screen size first; empty
+        nodes are traversed but not returned (reference:
+        src/octree/mod.rs:228-283)."""
+        from ..math.geometry import Frustum
+
+        order, _ = self.visible_nodes_with_sizes(Frustum.from_matrix4(projection_matrix))
+        return [self.node_ids[i] for i in order]
+
+    def visible_nodes_with_sizes(self, frustum) -> tuple:
+        """Returns (indices ordered by size desc, sizes) of visible nodes."""
+        from ..math.sat import REL_OUT
+
+        cached = frustum.intersector().cached_axes_for_aabb()
+        corners = self.node_corners()
+        relation = cached.intersect(corners)
+        sizes = relative_sizes_on_screen(frustum.clip_from_query, corners)
+        visible = (relation != REL_OUT) & (self.num_points > 0)
+        idx = np.nonzero(visible)[0]
+        order = idx[np.argsort(-sizes[idx], kind="stable")]
+        return order, sizes[order]
+
+    def nodes_in_location(self, location) -> List[NodeId]:
+        """All nodes whose AABB intersects the query location (a
+        query.location.PointLocation)."""
+        mask = location.intersects_aabbs(self.node_corners())
+        return [self.node_ids[i] for i in np.nonzero(mask)[0]]
+
+    # -- point access --------------------------------------------------------
+
+    def points_in_node(
+        self, node_id: NodeId, attributes: Optional[Sequence[str]] = None
+    ) -> PointsBatch:
+        """Read and decode one node's points (world-space positions)."""
+        meta = self.node_meta(node_id)
+        if attributes is None:
+            attributes = list(self.attribute_data_types)
+        dtypes = {}
+        for a in attributes:
+            if a not in self.attribute_data_types:
+                raise KeyError(f"Data type for attribute '{a}' not found.")
+            dtypes[a] = self.attribute_data_types[a]
+        return read_node_batch(
+            self.data_provider,
+            str(node_id),
+            dtypes,
+            meta.position_encoding,
+            meta.cube_min,
+            meta.edge_length,
+        )
+
+    def get_node_data(self, node_id: NodeId):
+        """Raw (undecoded) position+color bytes + meta, the web viewer's
+        payload (reference: src/octree/mod.rs:285-307)."""
+        blobs = self.data_provider.data(str(node_id), ["position", "color"])
+        return self.node_meta(node_id), blobs["position"], blobs["color"]
+
+
+def relative_sizes_on_screen(matrix: np.ndarray, corners: np.ndarray) -> np.ndarray:
+    """Vectorized relative_size_on_screen (reference: src/octree/mod.rs:119-139):
+    project all 8 cube corners, clamp to the hemicube (|x|,|y| <= 1,
+    0 <= z <= 1), take the xy-area of the projected bounding rectangle.
+
+    corners: (K, 8, 3) -> (K,) f64.
+    """
+    q = corners @ matrix[:3, :3].T + matrix[:3, 3]  # (K, 8, 3)
+    w = corners @ matrix[3, :3].T + matrix[3, 3]  # (K, 8)
+    p = q / w[..., None]
+    x = np.clip(p[..., 0], -1.0, 1.0)
+    y = np.clip(p[..., 1], -1.0, 1.0)
+    dx = x.max(axis=1) - x.min(axis=1)
+    dy = y.max(axis=1) - y.min(axis=1)
+    return dx * dy

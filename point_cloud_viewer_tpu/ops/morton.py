@@ -1,0 +1,114 @@
+"""Morton (Z-order) codes over octree cells.
+
+The octree builder's spatial primitive: quantize positions to a 2^D grid
+inside the root cube, then interleave bits x,y,z (x most significant,
+matching the child-index convention x<<2 | y<<1 | z of
+octree.node_id.child_index_from_cube).  A node at level L is exactly the set
+of points whose codes share a 3L-bit prefix, so after one sort the whole
+tree structure falls out of run-length scans — this replaces the reference's
+recursive per-node splitting (src/octree/generation.rs:58-193) with
+sort + segmented ops that map onto TPU hardware.
+
+Host path: numpy uint64.  Device path: uint32 (hi, lo) pairs, sorted
+lexicographically by jax.lax.sort with num_keys=2.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_DEPTH = 21  # 3*21 = 63 bits in a u64 code
+
+
+def quantize(positions: np.ndarray, cube_min, edge_length: float, depth: int) -> np.ndarray:
+    """(N, 3) f64 -> (N, 3) uint32 cell coordinates on the 2^depth grid.
+
+    floor((p - min) / edge * 2^depth), clipped into range.  Points exactly on
+    the max face land in the last cell.
+    """
+    assert 0 <= depth <= MAX_DEPTH
+    positions = np.asarray(positions, dtype=np.float64)
+    if edge_length <= 0:
+        return np.zeros((len(positions), 3), dtype=np.uint32)
+    scale = float(1 << depth)
+    t = (positions - cube_min) / edge_length
+    cells = np.floor(t * scale)
+    return np.clip(cells, 0, scale - 1).astype(np.uint32)
+
+
+def _spread3_u64(x: np.ndarray) -> np.ndarray:
+    """Insert two zero bits between each of the low 21 bits of x (uint64)."""
+    x = x.astype(np.uint64) & np.uint64(0x1FFFFF)
+    x = (x | (x << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return x
+
+
+def morton_encode(cells: np.ndarray) -> np.ndarray:
+    """(N, 3) uint32 cell coords -> (N,) uint64 Morton codes (x msb)."""
+    return (
+        (_spread3_u64(cells[:, 0]) << np.uint64(2))
+        | (_spread3_u64(cells[:, 1]) << np.uint64(1))
+        | _spread3_u64(cells[:, 2])
+    )
+
+
+def morton_decode(codes: np.ndarray, depth: int) -> np.ndarray:
+    """(N,) uint64 -> (N, 3) uint32 cell coords (inverse of morton_encode)."""
+    out = np.zeros((len(codes), 3), dtype=np.uint32)
+    codes = codes.astype(np.uint64)
+    for bit in range(depth):
+        for axis, shift in ((0, 2), (1, 1), (2, 0)):
+            out[:, axis] |= (
+                ((codes >> np.uint64(3 * bit + shift)) & np.uint64(1)) << np.uint32(bit)
+            ).astype(np.uint32)
+    return out
+
+
+def split_u64(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """u64 -> (hi, lo) uint32 pair for device-side lexicographic sorting."""
+    return (codes >> np.uint64(32)).astype(np.uint32), codes.astype(np.uint32)
+
+
+def join_u64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX) path
+
+
+def morton_encode_device(cells: jnp.ndarray, depth: int = MAX_DEPTH) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, 3) uint32 -> Morton code as (hi, lo) uint32 arrays
+    (hi = code bits 32..62, lo = bits 0..31).
+
+    Unrolled bit placement: 3*depth shift/or ops on uint32 vectors, which
+    XLA fuses into a single elementwise kernel — the sort dominates anyway.
+    """
+    n = cells.shape[0]
+    hi = jnp.zeros(n, dtype=jnp.uint32)
+    lo = jnp.zeros(n, dtype=jnp.uint32)
+    one = jnp.uint32(1)
+    for axis, shift in ((0, 2), (1, 1), (2, 0)):
+        v = cells[:, axis].astype(jnp.uint32)
+        for i in range(depth):
+            bit = (v >> jnp.uint32(i)) & one
+            pos = 3 * i + shift
+            if pos < 32:
+                lo = lo | (bit << jnp.uint32(pos))
+            else:
+                hi = hi | (bit << jnp.uint32(pos - 32))
+    return hi, lo
+
+
+def sort_by_codes_device(hi: jnp.ndarray, lo: jnp.ndarray, *values) -> Tuple:
+    """Lexicographic sort by (hi, lo) carrying `values` along; returns
+    (hi_sorted, lo_sorted, *values_sorted).  Runs natively on TPU."""
+    return jax.lax.sort((hi, lo) + tuple(values), num_keys=2)

@@ -1,0 +1,125 @@
+"""Codec + PLY round-trip tests (reference analogues:
+src/read_write/codec.rs:150-213, src/read_write/ply.rs:734-837)."""
+
+import numpy as np
+import pytest
+
+from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+from point_cloud_viewer_tpu.io.ply import PlyReader, write_ply
+from point_cloud_viewer_tpu.ops.codec import (
+    PositionEncoding,
+    decode_positions,
+    encode_positions,
+    position_encoding_for,
+)
+
+REFERENCE_PLYS = "/root/reference/src/test_data"
+
+
+def test_position_encoding_selection():
+    # min_bits = trunc(log2(edge/res)) + 1
+    assert position_encoding_for(2.0, 1.0) == PositionEncoding.UINT8  # 2 bits
+    assert position_encoding_for(255.0, 1.0) == PositionEncoding.UINT8  # 8 bits
+    assert position_encoding_for(256.0, 1.0) == PositionEncoding.UINT16  # 9 bits
+    assert position_encoding_for(65535.0, 1.0) == PositionEncoding.UINT16
+    assert position_encoding_for(65536.0, 1.0) == PositionEncoding.FLOAT32
+    assert position_encoding_for(2.0**24 - 1, 1.0) == PositionEncoding.FLOAT32
+    assert position_encoding_for(2.0**24, 1.0) == PositionEncoding.FLOAT64
+    assert position_encoding_for(0.5, 1.0) == PositionEncoding.UINT8
+
+
+@pytest.mark.parametrize(
+    "encoding,tol",
+    [
+        (PositionEncoding.UINT8, 2.0 / 255),
+        (PositionEncoding.UINT16, 2.0 / 65535),
+        (PositionEncoding.FLOAT32, 1e-6),
+        (PositionEncoding.FLOAT64, 1e-12),
+    ],
+)
+def test_fixpoint_roundtrip(encoding, tol):
+    rng = np.random.default_rng(42)
+    cube_min = np.array([40.0, -3.0, 7.5])
+    edge = 2.0
+    pts = cube_min + rng.random((1000, 3)) * edge
+    enc = encode_positions(pts, cube_min, edge, encoding)
+    assert enc.dtype == encoding.numpy_dtype
+    dec = decode_positions(enc, cube_min, edge, encoding)
+    assert np.abs(dec - pts).max() < tol * 1.01
+
+
+def test_fixpoint_scalar_reference_values():
+    # The reference codec test values (codec.rs:180-213).
+    v, mn, edge = 41.33333, 40.0, 2.0
+    for enc, tol in [
+        (PositionEncoding.UINT8, 1e-2),
+        (PositionEncoding.UINT16, 1e-4),
+    ]:
+        e = encode_positions(np.array([[v, v, v]]), np.full(3, mn), edge, enc)
+        d = decode_positions(e, np.full(3, mn), edge, enc)
+        assert abs(d[0, 0] - v) < tol
+
+
+def test_encode_clamps_out_of_cube():
+    cube_min = np.zeros(3)
+    pts = np.array([[-1.0, 0.5, 3.0]])  # outside the [0,2] cube in x and z
+    enc = encode_positions(pts, cube_min, 2.0, PositionEncoding.UINT16)
+    assert enc[0, 0] == 0 and enc[0, 2] == 65535
+
+
+def test_read_reference_ply_rgb():
+    r = PlyReader(f"{REFERENCE_PLYS}/xyz_f32_rgb_u8_le.ply")
+    batch = r.read_all()
+    assert len(batch) == 8
+    assert "color" in batch.attributes
+    assert batch.attributes["color"].shape == (8, 3)
+    assert batch.attributes["color"].dtype == np.uint8
+    assert batch.position.dtype == np.float64
+
+
+def test_read_reference_ply_intensity():
+    r = PlyReader(f"{REFERENCE_PLYS}/xyz_f32_rgb_u8_intensity_f32.ply")
+    batch = r.read_all()
+    assert len(batch) == 8
+    assert set(batch.attributes) == {"color", "intensity"}
+    assert batch.attributes["intensity"].dtype == np.float32
+
+
+def test_read_reference_ply_rgba_skips_alpha():
+    r = PlyReader(f"{REFERENCE_PLYS}/xyz_f32_rgba_u8_le.ply")
+    batch = r.read_all()
+    assert len(batch) == 8
+    assert set(batch.attributes) == {"color"}
+
+
+def test_ply_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    batch = PointsBatch(
+        position=rng.random((100, 3)) * 10 - 5,
+        attributes={
+            "color": rng.integers(0, 256, (100, 3), dtype=np.uint8),
+            "intensity": rng.random(100).astype(np.float32),
+            "timestamp": rng.integers(0, 2**40, 100).astype(np.uint64),
+        },
+    )
+    path = str(tmp_path / "out.ply")
+    write_ply(path, batch)
+    back = PlyReader(path).read_all()
+    np.testing.assert_allclose(back.position, batch.position, atol=0)
+    np.testing.assert_array_equal(back.attributes["color"], batch.attributes["color"])
+    np.testing.assert_array_equal(
+        back.attributes["intensity"], batch.attributes["intensity"]
+    )
+    np.testing.assert_array_equal(
+        back.attributes["timestamp"], batch.attributes["timestamp"]
+    )
+
+
+def test_ply_offset_comment(tmp_path):
+    batch = PointsBatch(position=np.array([[1.0, 2.0, 3.0]]))
+    path = str(tmp_path / "o.ply")
+    write_ply(path, batch, offset=np.array([100.0, 200.0, 300.0]))
+    header = open(path, "rb").read(200)
+    assert b"comment offset: 100.0 200.0 300.0" in header
+    back = PlyReader(path).read_all()
+    np.testing.assert_allclose(back.position, batch.position)
