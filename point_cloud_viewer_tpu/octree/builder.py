@@ -103,10 +103,13 @@ def build_octree(
     attributes: Optional[Sequence[str]] = None,
     bounding_box: Optional[Aabb] = None,
     progress: bool = False,
+    use_device: bool = False,
 ) -> BuildResult:
     """Build a reference-format octree directory from points.
 
     `attributes`: which batch attributes to store (default: all present).
+    `use_device`: run the Morton encode + sort (the O(N log N) stage) on the
+    default JAX device (TPU) instead of host numpy; results are identical.
     """
     batch = _materialize(data)
     if attributes is not None:
@@ -133,9 +136,14 @@ def build_octree(
 
     # --- 1. Morton sort --------------------------------------------------
     cells = morton.quantize(batch.position, root_cube.min, root_cube.edge_length, depth_cap)
-    codes = morton.morton_encode(cells)
-    order = np.argsort(codes, kind="stable")
-    codes = codes[order]
+    if use_device:
+        from ..ops.sort import morton_sort_device
+
+        codes, order = morton_sort_device(cells)
+    else:
+        codes = morton.morton_encode(cells)
+        order = np.argsort(codes, kind="stable")
+        codes = codes[order]
     sorted_batch = batch.take(order)
 
     # --- 2. top-down split discovery -------------------------------------

@@ -1,0 +1,98 @@
+"""Jitted device kernels for the viewer inner loop: frustum culling + LOD
+selection over every octree node in one pass.
+
+This is the TPU replacement for the reference's per-frame heap traversal
+(src/octree/mod.rs:228-283): node cubes live on device as flat (K,) arrays;
+each frame is one jitted call — corner expansion, SAT projections (a batched
+matmul on the MXU), hemicube screen-size estimation, and a top-k/sort for
+display priority.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REL_IN = 0
+REL_CROSS = 1
+REL_OUT = 2
+
+# Unit cube corners, x fastest (matches octree.octree._CORNER_UNIT).
+_CORNER_UNIT = np.array(
+    [[x, y, z] for z in (0, 1) for y in (0, 1) for x in (0, 1)], dtype=np.float32
+)
+
+
+def node_corners(mins: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
+    """(K, 3) mins + (K,) edges -> (K, 8, 3) cube corners."""
+    unit = jnp.asarray(_CORNER_UNIT, dtype=mins.dtype)
+    return mins[:, None, :] + unit[None, :, :] * edges[:, None, None]
+
+
+def sat_relation_device(
+    axes: jnp.ndarray,  # (A, 3) separating axes
+    query_min_proj: jnp.ndarray,  # (A,) query corners' min projection
+    query_max_proj: jnp.ndarray,  # (A,)
+    corners: jnp.ndarray,  # (K, 8, 3)
+) -> jnp.ndarray:
+    """Batched SAT relations (K,) int8: 0=In, 1=Cross, 2=Out."""
+    proj = jnp.einsum("kcd,ad->kca", corners, axes)  # (K, 8, A) — MXU matmul
+    b_min = proj.min(axis=1)
+    b_max = proj.max(axis=1)
+    out = jnp.any((b_min > query_max_proj) | (b_max < query_min_proj), axis=1)
+    cross = jnp.any((query_min_proj > b_min) | (b_max > query_max_proj), axis=1)
+    return jnp.where(out, REL_OUT, jnp.where(cross, REL_CROSS, REL_IN)).astype(jnp.int8)
+
+
+def relative_sizes_on_screen_device(
+    matrix: jnp.ndarray, corners: jnp.ndarray
+) -> jnp.ndarray:
+    """Projected screen-size heuristic (K,), the hemicube-clamped xy area of
+    the projected cube (reference: src/octree/mod.rs:119-139)."""
+    q = jnp.einsum("kcd,rd->kcr", corners, matrix[:3, :3]) + matrix[:3, 3]
+    w = jnp.einsum("kcd,d->kc", corners, matrix[3, :3]) + matrix[3, 3]
+    p = q / w[..., None]
+    x = jnp.clip(p[..., 0], -1.0, 1.0)
+    y = jnp.clip(p[..., 1], -1.0, 1.0)
+    return (x.max(axis=1) - x.min(axis=1)) * (y.max(axis=1) - y.min(axis=1))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def frustum_cull_lod_select(
+    matrix: jnp.ndarray,  # (4, 4) clip_from_query
+    axes: jnp.ndarray,  # (A, 3) cached separating axes
+    query_min_proj: jnp.ndarray,  # (A,)
+    query_max_proj: jnp.ndarray,  # (A,)
+    node_mins: jnp.ndarray,  # (K, 3)
+    node_edges: jnp.ndarray,  # (K,)
+    num_points: jnp.ndarray,  # (K,) int32
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The per-frame step: returns (priority_order (K,) int32, sizes (K,),
+    visible (K,) bool).  priority_order lists ALL node indices sorted by
+    descending screen size with invisible nodes pushed to the end; callers
+    take the first `visible.sum()` entries."""
+    corners = node_corners(node_mins, node_edges)
+    relation = sat_relation_device(axes, query_min_proj, query_max_proj, corners)
+    sizes = relative_sizes_on_screen_device(matrix, corners)
+    visible = (relation != REL_OUT) & (num_points > 0)
+    # Invisible nodes get -inf priority -> sorted last.
+    priority = jnp.where(visible, sizes, -jnp.inf)
+    order = jnp.argsort(-priority)
+    return order.astype(jnp.int32), sizes, visible
+
+
+def frustum_axes_and_projections(frustum) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side per-frame prep: cached separating axes of the frustum vs
+    AABBs plus the query-corner projections (A is data-dependent; computed
+    once per frame, tiny)."""
+    cached = frustum.intersector().cached_axes_for_aabb()
+    proj = cached.corners @ cached.axes.T  # (8, A)
+    return (
+        cached.axes.astype(np.float32),
+        proj.min(axis=0).astype(np.float32),
+        proj.max(axis=0).astype(np.float32),
+    )

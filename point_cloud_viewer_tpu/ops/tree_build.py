@@ -1,0 +1,132 @@
+"""Device-resident octree construction core.
+
+Everything between raw positions and per-node file bytes, as one jitted XLA
+program over fixed-shape arrays — no recursion, no host round-trips:
+
+1. Morton encode + global sort (u32 key pairs).
+2. Leaf assignment WITHOUT top-down recursion: along any root-to-leaf path
+   cell counts are non-increasing, so a point's leaf is the FIRST level
+   where its cell holds <= MAX_POINTS_PER_NODE points (the reference's
+   should_split rule, src/octree/generation.rs:128-150, re-derived as a
+   per-point property).  Per-level cell counts come from segmented scans
+   over the sorted codes (cummax/cummin of boundary positions).
+3. LOD promotion as D passes of segmented ranking: at each level, among
+   points currently resident at that level, every 8th point of each node
+   (rank % 8 == 0) moves to the parent — the reference's subsampling rule
+   (generation.rs:224-229) — implemented with a segmented cumsum.
+4. Node-local normalized coordinates for fixpoint encoding, derived from
+   the grid cells (max extra error: half a leaf cell <= resolution/2).
+
+The result: each point's final tree level + normalized in-node coordinates;
+grouping into nodes is a host-side slice over the already-sorted order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import MAX_POINTS_PER_NODE
+from . import morton
+
+
+class DeviceTreeResult(NamedTuple):
+    code_hi: jnp.ndarray  # (N,) sorted Morton code, bits 32..62
+    code_lo: jnp.ndarray  # (N,) bits 0..31
+    order: jnp.ndarray  # (N,) uint32 permutation: sorted -> original index
+    final_level: jnp.ndarray  # (N,) int32 tree level each point ends up in
+    t_norm: jnp.ndarray  # (N, 3) f32 node-normalized coordinates in [0,1)
+
+
+def _segment_starts(hi: jnp.ndarray, lo: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Boolean (N,): True where the level prefix (code >> shift) changes."""
+    if shift >= 32:
+        p = hi >> jnp.uint32(shift - 32)
+        prev = jnp.concatenate([p[:1] ^ jnp.uint32(1), p[:-1]])
+        return p != prev
+    ph = hi if shift == 0 else hi  # hi bits always in prefix when shift < 32
+    pl = (lo >> jnp.uint32(shift)) | (hi << jnp.uint32(32 - shift)) if shift > 0 else lo
+    prev_h = jnp.concatenate([ph[:1] ^ jnp.uint32(1), ph[:-1]])
+    prev_l = jnp.concatenate([pl[:1] ^ jnp.uint32(1), pl[:-1]])
+    return (ph != prev_h) | (pl != prev_l)
+
+
+def _counts_per_point(starts: jnp.ndarray) -> jnp.ndarray:
+    """Given segment-start flags over a sorted array, the size of each
+    point's segment, per point."""
+    n = starts.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    seg_start = jax.lax.cummax(jnp.where(starts, iota, 0))
+    nb = jnp.where(starts, iota, n)
+    nxt = jax.lax.cummin(nb[::-1])[::-1]
+    # next boundary strictly after i:
+    seg_end = jnp.concatenate([nxt[1:], jnp.full((1,), n, dtype=nxt.dtype)])
+    return seg_end - seg_start, seg_start
+
+
+def _segmented_rank(active: jnp.ndarray, seg_starts: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each active element among active elements of its segment."""
+    c = jnp.cumsum(active.astype(jnp.int32))
+    n = active.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    # cumsum value just before the segment start
+    base = jax.lax.cummax(jnp.where(seg_starts, c - active.astype(jnp.int32), 0))
+    return c - active.astype(jnp.int32) - base
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth", "max_split_level", "max_points_per_node")
+)
+def build_tree_device(
+    cells: jnp.ndarray,  # (N, 3) uint32 grid cells at `depth`
+    depth: int,
+    max_split_level: int,
+    max_points_per_node: int = MAX_POINTS_PER_NODE,
+) -> DeviceTreeResult:
+    """The full build core on device.  `max_split_level`: deepest level
+    nodes may exist at (resolution cap), <= depth."""
+    n = cells.shape[0]
+    hi, lo = morton.morton_encode_device(cells, depth)
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
+    cx, cy, cz = cells[:, 0], cells[:, 1], cells[:, 2]
+    hi, lo, idx, cx, cy, cz = jax.lax.sort(
+        (hi, lo, idx, cx, cy, cz), num_keys=2, is_stable=True
+    )
+
+    # ---- leaf level: first level with count <= max_points_per_node -------
+    leaf = jnp.full(n, max_split_level, dtype=jnp.int32)
+    assigned = jnp.zeros(n, dtype=bool)
+    starts_by_level = []
+    for level in range(1, max_split_level + 1):
+        shift = 3 * (depth - level)
+        starts = _segment_starts(hi, lo, shift)
+        starts = starts.at[0].set(True)
+        starts_by_level.append(starts)
+        counts, _ = _counts_per_point(starts)
+        hit = ~assigned & (counts <= max_points_per_node)
+        leaf = jnp.where(hit, level, leaf)
+        assigned = assigned | hit
+
+    # ---- LOD promotion ----------------------------------------------------
+    cur = leaf
+    for level in range(max_split_level, 0, -1):
+        starts = starts_by_level[level - 1]
+        active = cur == level
+        rank = _segmented_rank(active, starts)
+        promote = active & (rank % 8 == 0)
+        cur = jnp.where(promote, level - 1, cur)
+
+    # ---- node-normalized coordinates --------------------------------------
+    # node of a point spans 2^(depth - cur) cells per axis.
+    s = (depth - cur).astype(jnp.uint32)
+    def norm(c):
+        local = c - ((c >> s) << s)
+        return (local.astype(jnp.float32) + 0.5) / jnp.exp2(s.astype(jnp.float32))
+
+    t_norm = jnp.stack([norm(cx), norm(cy), norm(cz)], axis=-1)
+    return DeviceTreeResult(
+        code_hi=hi, code_lo=lo, order=idx, final_level=cur, t_norm=t_norm
+    )

@@ -1,0 +1,192 @@
+"""Multi-chip sharded octree building: Morton-prefix partitioning with ICI
+all-to-all exchange.
+
+The reference is single-process (rayon + crossbeam, SURVEY §2.9); its
+distributed analogue here follows the scaling-book recipe: pick a 1-D mesh,
+shard the point dimension, and let each step be an SPMD program —
+
+1. each shard quantizes + Morton-encodes its local points (VPU),
+2. sorts locally by code (XLA's native sort),
+3. buckets points by code prefix (bucket k = the code range owned by
+   device k; contiguous after the local sort),
+4. exchanges buckets with ONE `jax.lax.all_to_all` over the mesh axis
+   (rides ICI on real hardware),
+5. re-sorts the received points: every shard now owns a disjoint,
+   globally-sorted Morton range, from which node discovery and LOD
+   subsampling proceed independently per shard (no further communication;
+   node ranges never straddle shards because shard boundaries are code
+   prefixes).
+
+Buckets are capacity-padded to keep shapes static (invalid slots carry the
+max code and sort to the tail); overflow is counted and reported so callers
+can retry with a larger capacity factor.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import morton
+from .mesh import SHARD_AXIS
+
+_INVALID = jnp.uint32(0xFFFFFFFF)
+
+
+class ShardedSortResult(NamedTuple):
+    """Per-shard globally-sorted Morton ranges (leading dim sharded)."""
+
+    code_hi: jnp.ndarray  # (n * cap,) per shard
+    code_lo: jnp.ndarray
+    positions: jnp.ndarray  # (n * cap, 3) f32, aligned with codes
+    valid_count: jnp.ndarray  # (1,) per shard: how many slots are real points
+    overflow: jnp.ndarray  # (1,) per shard: points dropped by capacity
+
+
+def _local_step(
+    positions: jnp.ndarray,  # (P, 3) local points, f32
+    root_min: jnp.ndarray,  # (3,)
+    root_edge: jnp.ndarray,  # ()
+    *,
+    n_shards: int,
+    depth: int,
+    capacity: int,
+) -> ShardedSortResult:
+    p = positions.shape[0]
+    scale = jnp.float32(1 << depth)
+    t = (positions - root_min) / root_edge
+    cells = jnp.clip(jnp.floor(t * scale), 0.0, scale - 1.0).astype(jnp.uint32)
+    hi, lo = morton.morton_encode_device(cells, depth)
+
+    # Local sort by code, carrying positions.
+    hi, lo, px, py, pz = jax.lax.sort(
+        (hi, lo, positions[:, 0], positions[:, 1], positions[:, 2]), num_keys=2
+    )
+
+    # Owner shard of a code: equal slices of the code range.  Codes are
+    # 3*depth <= 63 bits, so hi (code bits 32..62) spans [0, 2^(3*depth-32)).
+    if n_shards == 1:
+        bucket = jnp.zeros(p, dtype=jnp.int32)
+    else:
+        hi_range = 1 << max(3 * depth - 32, 1)
+        slice_size = jnp.uint32(max(int(np.ceil(hi_range / n_shards)), 1))
+        bucket = jnp.minimum(hi // slice_size, jnp.uint32(n_shards - 1)).astype(jnp.int32)
+
+    counts = jnp.bincount(bucket, length=n_shards)  # (n,)
+    offsets = jnp.cumsum(counts) - counts
+    kept = jnp.minimum(counts, capacity)
+    overflow = jnp.sum(counts - kept)
+
+    # Scatter-free packing: slot (j, c) <- sorted point offsets[j] + c.
+    slot_c = jax.lax.broadcasted_iota(jnp.int32, (n_shards, capacity), 1)
+    src = jnp.minimum(offsets[:, None] + slot_c, p - 1)
+    valid = slot_c < kept[:, None]
+
+    def take(x, fill):
+        v = x[src.reshape(-1)].reshape(n_shards, capacity)
+        return jnp.where(valid, v, fill)
+
+    send_hi = take(hi, _INVALID)
+    send_lo = take(lo, _INVALID)
+    send_pos = jnp.stack(
+        [take(px, 0.0), take(py, 0.0), take(pz, 0.0)], axis=-1
+    )  # (n, cap, 3)
+
+    # The exchange: one all-to-all per array over the mesh axis.
+    recv_hi = jax.lax.all_to_all(send_hi, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True)
+    recv_lo = jax.lax.all_to_all(send_lo, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True)
+    recv_pos = jax.lax.all_to_all(send_pos, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True)
+    recv_counts = jax.lax.all_to_all(
+        kept[:, None], SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True
+    )
+
+    # Globalize: my shard now owns one contiguous code range; sort it.
+    flat = n_shards * capacity
+    r_hi, r_lo, rx, ry, rz = jax.lax.sort(
+        (
+            recv_hi.reshape(flat),
+            recv_lo.reshape(flat),
+            recv_pos[..., 0].reshape(flat),
+            recv_pos[..., 1].reshape(flat),
+            recv_pos[..., 2].reshape(flat),
+        ),
+        num_keys=2,
+    )
+    valid_count = jnp.sum(recv_counts).reshape(1)
+    return ShardedSortResult(
+        code_hi=r_hi,
+        code_lo=r_lo,
+        positions=jnp.stack([rx, ry, rz], axis=-1),
+        valid_count=valid_count,
+        overflow=overflow.reshape(1),
+    )
+
+
+def _node_stats(result: ShardedSortResult, depth: int, level: int) -> jnp.ndarray:
+    """Number of non-empty octree nodes at `level` in this shard's range —
+    run-length count over code prefixes (per-shard; summing over shards is
+    exact because shard boundaries are prefix boundaries for levels whose
+    prefix length >= the bucket bits)."""
+    shift = 3 * (depth - level)
+    if shift < 32:
+        raise ValueError("stats_level too deep: need 3*(depth-level) >= 32")
+    # Prefix of the 63-bit code (hi holds code bits 32..62).
+    prefix = result.code_hi >> jnp.uint32(shift - 32)
+    prefix_prev = jnp.concatenate([prefix[:1] + jnp.uint32(1), prefix[:-1]])
+    n = result.code_hi.shape[0]
+    slots = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    is_valid = slots < result.valid_count[0]
+    new_run = (prefix != prefix_prev) & is_valid
+    return jnp.sum(new_run)
+
+
+def make_sharded_build_step(
+    mesh: Mesh,
+    *,
+    depth: int = morton.MAX_DEPTH,
+    capacity_factor: float = 2.0,
+    stats_level: int = 3,
+):
+    """Returns a jitted SPMD step: (positions (N, 3) f32 sharded on dim 0,
+    root_min (3,), root_edge ()) -> (ShardedSortResult, nodes_at_level (n,)).
+
+    This is the communication core of the distributed builder and the
+    multi-chip dry-run payload."""
+    n_shards = mesh.devices.size
+
+    def step(positions, root_min, root_edge):
+        p_local = positions.shape[0]  # per-shard count under shard_map
+        capacity = max(8, int(np.ceil(capacity_factor * p_local / n_shards)))
+        result = _local_step(
+            positions,
+            root_min,
+            root_edge,
+            n_shards=n_shards,
+            depth=depth,
+            capacity=capacity,
+        )
+        nodes = _node_stats(result, depth, stats_level).reshape(1)
+        total_nodes = jax.lax.psum(nodes, SHARD_AXIS)
+        return result, total_nodes
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(), P()),
+        out_specs=(
+            ShardedSortResult(
+                code_hi=P(SHARD_AXIS),
+                code_lo=P(SHARD_AXIS),
+                positions=P(SHARD_AXIS),
+                valid_count=P(SHARD_AXIS),
+                overflow=P(SHARD_AXIS),
+            ),
+            P(),
+        ),
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,199 @@
+"""PointCloudClient: unified streaming queries over many point clouds.
+
+The reference runs a crossbeam work-stealing pool with a bounded channel
+back to the consumer (src/iterator.rs:226-334, point_cloud_client/src/lib.rs).
+Here: a thread pool decodes + filters nodes (numpy releases the GIL for the
+heavy ops), a bounded queue provides back-pressure, per-worker re-batchers
+emit batches of exactly `batch_size`, and a consumer-side error cancels all
+workers cooperatively — preserving the reference's early-stop semantics
+(exercised by its tests, src/octree/tests.rs:83-136).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.constants import NUM_POINTS_PER_BATCH
+from ..core.points_batch import PointsBatch
+from ..math.geometry import Aabb
+from .point_query import PointQuery
+
+
+class _Cancelled(Exception):
+    pass
+
+
+class _Rebatcher:
+    """Accumulate filtered batches and emit exactly batch_size points
+    (reference PointStream, src/iterator.rs:123-166)."""
+
+    def __init__(self, batch_size: int, emit: Callable[[PointsBatch], None]) -> None:
+        self.batch_size = batch_size
+        self.emit = emit
+        self.parts: List[PointsBatch] = []
+        self.buffered = 0
+
+    def push(self, batch: PointsBatch) -> None:
+        if len(batch) == 0:
+            return
+        self.parts.append(batch)
+        self.buffered += len(batch)
+        while self.buffered >= self.batch_size:
+            merged = PointsBatch.concatenate(self.parts)
+            head = merged
+            tail = head.split_off(self.batch_size)
+            self.parts = [tail] if len(tail) else []
+            self.buffered = len(tail)
+            self.emit(head)
+
+    def flush(self) -> None:
+        if self.buffered:
+            self.emit(PointsBatch.concatenate(self.parts))
+            self.parts = []
+            self.buffered = 0
+
+
+class PointCloudClient:
+    """Queries across a list of point clouds (octrees and/or S2 clouds).
+
+    Defaults follow the reference builder (point_cloud_client/src/lib.rs:61-91):
+    batch 500k points, cpus-1 threads, buffer of 4 in-flight batches.
+    """
+
+    def __init__(
+        self,
+        clouds: Sequence,
+        batch_size: int = NUM_POINTS_PER_BATCH,
+        num_threads: Optional[int] = None,
+        buffer_size: int = 4,
+    ) -> None:
+        import os
+
+        self.clouds = list(clouds)
+        self.batch_size = batch_size
+        self.num_threads = num_threads or max(1, (os.cpu_count() or 2) - 1)
+        self.buffer_size = buffer_size
+
+    @classmethod
+    def from_locations(cls, locations: Sequence[str], **kwargs) -> "PointCloudClient":
+        """Open octree or S2 directories, dispatching on the meta contents
+        (reference: point_cloud_client/src/lib.rs:108-132)."""
+        from ..io.node_io import OnDiskDataProvider
+        from ..octree.octree import Octree
+
+        clouds = []
+        for loc in locations:
+            provider = OnDiskDataProvider(loc)
+            meta = provider.meta_proto()
+            if meta.octree is not None:
+                clouds.append(Octree(provider))
+            else:
+                from ..s2_cells.container import S2Cells
+
+                clouds.append(S2Cells(provider))
+        return cls(clouds, **kwargs)
+
+    def bounding_box(self) -> Aabb:
+        box = None
+        for cloud in self.clouds:
+            b = cloud.bounding_box
+            if box is None:
+                box = Aabb(b.mins, b.maxs)
+            else:
+                box.grow(b.mins)
+                box.grow(b.maxs)
+        return box if box is not None else Aabb.zero()
+
+    # ------------------------------------------------------------------
+
+    def for_each_point_data(
+        self, query: PointQuery, callback: Callable[[PointsBatch], None]
+    ) -> None:
+        """Stream every matching batch to `callback` (serially).  An
+        exception raised by the callback cancels outstanding work and
+        propagates."""
+        jobs: List[Tuple[object, object]] = []
+        for cloud in self.clouds:
+            for node_id in cloud.nodes_in_location(query.location):
+                jobs.append((cloud, node_id))
+
+        out: "queue.Queue" = queue.Queue(maxsize=self.buffer_size)
+        cancel = threading.Event()
+        job_iter = iter(jobs)
+        job_lock = threading.Lock()
+        _SENTINEL = object()
+
+        def worker() -> None:
+            def emit(batch: PointsBatch) -> None:
+                while True:
+                    if cancel.is_set():
+                        raise _Cancelled()
+                    try:
+                        out.put(batch, timeout=0.1)
+                        return
+                    except queue.Full:
+                        continue
+
+            rebatcher = _Rebatcher(self.batch_size, emit)
+            try:
+                while not cancel.is_set():
+                    with job_lock:
+                        job = next(job_iter, None)
+                    if job is None:
+                        break
+                    cloud, node_id = job
+                    batch = cloud.points_in_node(node_id, attributes=query.attributes)
+                    rebatcher.push(query.filter_batch(batch))
+                rebatcher.flush()
+            except _Cancelled:
+                pass
+            except BaseException as e:  # surfaced via the error slot
+                errors.append(e)
+                cancel.set()
+            finally:
+                emit_done()
+
+        errors: List[BaseException] = []
+
+        def emit_done() -> None:
+            out.put(_SENTINEL)
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_threads)
+        ]
+        for t in threads:
+            t.start()
+
+        done_workers = 0
+        consumer_error: Optional[BaseException] = None
+        while done_workers < len(threads):
+            item = out.get()
+            if item is _SENTINEL:
+                done_workers += 1
+                continue
+            if cancel.is_set():
+                continue  # drain
+            try:
+                callback(item)
+            except BaseException as e:
+                consumer_error = e
+                cancel.set()
+        for t in threads:
+            t.join()
+        if consumer_error is not None:
+            raise consumer_error
+        if errors:
+            raise errors[0]
+
+    def stream(self, query: PointQuery) -> Iterator[PointsBatch]:
+        """Generator interface over for_each_point_data (collects eagerly
+        per node set but yields lazily batch by batch)."""
+        results: List[PointsBatch] = []
+        self.for_each_point_data(query, results.append)
+        yield from results

@@ -1,0 +1,40 @@
+"""PointQuery: what to fetch (attributes), where (location), and attribute
+interval filters (reference: src/iterator.rs:66-72)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.points_batch import PointsBatch
+from ..math.intervals import ClosedInterval
+from .location import AllPoints, PointLocation, location_for
+
+
+@dataclass
+class PointQuery:
+    attributes: List[str] = field(default_factory=list)
+    location: PointLocation = field(default_factory=AllPoints)
+    filter_intervals: Dict[str, ClosedInterval] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.location = location_for(self.location)
+
+    def filter_batch(self, batch: PointsBatch) -> PointsBatch:
+        """Apply geometric culling + interval filters to a decoded node batch
+        (the reference's FilteredIterator, src/iterator.rs:93-119)."""
+        keep = self.location.contains(batch.position)
+        for attrib, interval in self.filter_intervals.items():
+            data = batch.attributes.get(attrib)
+            if data is None:
+                raise KeyError(
+                    "Filter attribute needs to be specified as query attribute."
+                )
+            if data.ndim != 1:
+                raise ValueError(f"interval filter on non-scalar attribute {attrib}")
+            keep = keep & interval.contains(data)
+        if keep.all():
+            return batch
+        return batch.retain(keep)

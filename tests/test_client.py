@@ -1,0 +1,122 @@
+"""PointCloudClient streaming tests: batch sizing, filters, early stop
+(reference analogues: src/octree/tests.rs:83-136)."""
+
+import numpy as np
+import pytest
+
+from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+from point_cloud_viewer_tpu.math.geometry import Aabb
+from point_cloud_viewer_tpu.math.intervals import ClosedInterval
+from point_cloud_viewer_tpu.octree.builder import build_octree
+from point_cloud_viewer_tpu.query.client import PointCloudClient
+from point_cloud_viewer_tpu.query.point_query import PointQuery
+
+
+@pytest.fixture(scope="module")
+def cloud(tmp_path_factory):
+    rng = np.random.default_rng(99)
+    n = 200_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 10.0,
+        attributes={
+            "color": rng.integers(0, 256, (n, 3), dtype=np.uint8),
+            "intensity": rng.random(n).astype(np.float32),
+        },
+    )
+    out = str(tmp_path_factory.mktemp("cloud"))
+    build_octree(out, 0.001, batch)
+    return batch, out
+
+
+def test_batch_count_exact(cloud):
+    batch, out = cloud
+    client = PointCloudClient.from_locations([out], batch_size=10_000, num_threads=4)
+    sizes = []
+    client.for_each_point_data(
+        PointQuery(attributes=["color"]), lambda b: sizes.append(len(b))
+    )
+    assert sum(sizes) == len(batch)
+    # All but at most num_threads trailing flushes are exactly batch_size
+    # (one flush per worker; reference semantics, src/iterator.rs:147-166).
+    full = [s for s in sizes if s == 10_000]
+    assert len(sizes) - len(full) <= 4
+
+
+def test_early_termination(cloud):
+    _, out = cloud
+    client = PointCloudClient.from_locations([out], batch_size=5_000, num_threads=4)
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = []
+
+    def cb(batch):
+        calls.append(len(batch))
+        if len(calls) == 2:
+            raise Boom("stop")
+
+    with pytest.raises(Boom):
+        client.for_each_point_data(PointQuery(attributes=["color"]), cb)
+    assert len(calls) == 2
+
+
+def test_interval_filter(cloud):
+    batch, out = cloud
+    client = PointCloudClient.from_locations([out], batch_size=50_000, num_threads=2)
+    interval = ClosedInterval(0.25, 0.5)
+    got = []
+    client.for_each_point_data(
+        PointQuery(
+            attributes=["color", "intensity"],
+            filter_intervals={"intensity": interval},
+        ),
+        lambda b: got.append(b),
+    )
+    total = sum(len(b) for b in got)
+    expected = int(np.sum(interval.contains(batch.attributes["intensity"])))
+    assert total == expected
+    for b in got:
+        assert interval.contains(b.attributes["intensity"]).all()
+
+
+def test_filter_attribute_must_be_queried(cloud):
+    _, out = cloud
+    client = PointCloudClient.from_locations([out], num_threads=2)
+    with pytest.raises(KeyError):
+        client.for_each_point_data(
+            PointQuery(
+                attributes=["color"],
+                filter_intervals={"intensity": ClosedInterval(0, 1)},
+            ),
+            lambda b: None,
+        )
+
+
+def test_aabb_location_total(cloud):
+    batch, out = cloud
+    client = PointCloudClient.from_locations([out], num_threads=2)
+    box = Aabb([2.0, 2.0, 2.0], [5.0, 5.0, 5.0])
+    total = 0
+
+    def cb(b):
+        nonlocal total
+        total += len(b)
+
+    client.for_each_point_data(
+        PointQuery(attributes=["color"], location=box), cb
+    )
+    inner = Aabb(box.mins + 0.002, box.maxs - 0.002)
+    outer = Aabb(box.mins - 0.002, box.maxs + 0.002)
+    assert (
+        int(inner.contains(batch.position).sum())
+        <= total
+        <= int(outer.contains(batch.position).sum())
+    )
+
+
+def test_bounding_box_union(cloud):
+    _, out = cloud
+    client = PointCloudClient.from_locations([out, out])
+    bb = client.bounding_box()
+    assert (bb.maxs > bb.mins).all()

@@ -1,0 +1,182 @@
+"""Device op tests (run on the virtual CPU backend): Morton device parity,
+device sort, device tree-build core vs the host builder, culling kernel
+parity, and the sharded multi-chip build step."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+from point_cloud_viewer_tpu.math.geometry import (
+    Aabb,
+    Cube,
+    Frustum,
+    Isometry,
+    Perspective,
+)
+from point_cloud_viewer_tpu.octree.builder import build_octree, compute_depth_cap
+from point_cloud_viewer_tpu.octree.node_id import NodeId
+from point_cloud_viewer_tpu.octree.octree import Octree
+from point_cloud_viewer_tpu.ops import morton
+from point_cloud_viewer_tpu.ops.culling import (
+    frustum_axes_and_projections,
+    frustum_cull_lod_select,
+)
+from point_cloud_viewer_tpu.ops.sort import morton_sort_device, morton_sort_host
+from point_cloud_viewer_tpu.ops.tree_build import build_tree_device
+
+
+def test_morton_roundtrip_host():
+    rng = np.random.default_rng(0)
+    cells = rng.integers(0, 2**21, (1000, 3)).astype(np.uint32)
+    codes = morton.morton_encode(cells)
+    back = morton.morton_decode(codes, 21)
+    np.testing.assert_array_equal(back, cells)
+
+
+def test_morton_device_matches_host():
+    rng = np.random.default_rng(1)
+    cells = rng.integers(0, 2**21, (2048, 3)).astype(np.uint32)
+    host = morton.morton_encode(cells)
+    hi, lo = morton.morton_encode_device(jnp.asarray(cells))
+    dev = morton.join_u64(np.asarray(hi), np.asarray(lo))
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_device_sort_matches_host():
+    rng = np.random.default_rng(2)
+    cells = rng.integers(0, 2**21, (5000, 3)).astype(np.uint32)
+    codes_h, order_h = morton_sort_host(cells)
+    codes_d, order_d = morton_sort_device(cells)
+    np.testing.assert_array_equal(codes_d, codes_h)
+    np.testing.assert_array_equal(order_d, order_h)
+
+
+def test_device_tree_matches_host_builder(tmp_path):
+    """The device core must reproduce the host builder's point->level
+    assignment exactly (same leaf rule, same promotion rule)."""
+    rng = np.random.default_rng(3)
+    n = 30_000
+    position = rng.random((n, 3)) * 8.0
+    batch = PointsBatch(position=position)
+    out = str(tmp_path / "oct")
+    # Small max_points to force several levels.
+    from point_cloud_viewer_tpu.core import constants
+    from point_cloud_viewer_tpu.octree import builder as builder_mod
+
+    result = build_octree(out, 0.001, batch)
+    root = result.root_cube
+    depth = result.depth_cap
+
+    cells = morton.quantize(position, root.min, root.edge_length, depth)
+    dev = build_tree_device(jnp.asarray(cells), depth, depth)
+    dev_level = np.asarray(dev.final_level)
+    dev_order = np.asarray(dev.order).astype(np.int64)
+
+    # Host truth: point index -> level, recovered by streaming every node.
+    octree = Octree.from_directory(out)
+    host_level = np.full(n, -1)
+    codes = morton.morton_encode(cells)
+    sorted_order = np.argsort(codes, kind="stable")
+    # Map each written node's points back to original indices by matching
+    # decoded positions is fragile; instead rebuild from builder internals:
+    # builder wrote counts per node; device gives levels per sorted point.
+    # Cross-check via aggregate: per-level point counts must match.
+    from collections import Counter
+
+    host_counts = Counter()
+    for node_id, count in result.nodes:
+        host_counts[node_id.level] += count
+    dev_counts = Counter(dev_level.tolist())
+    assert dict(host_counts) == {k: v for k, v in dev_counts.items() if v}
+
+    # And per-node counts at the deepest two levels.
+    host_node_counts = {
+        (nid.level, nid.index): c for nid, c in result.nodes if c > 0
+    }
+    dev_hi = np.asarray(dev.code_hi)
+    dev_lo = np.asarray(dev.code_lo)
+    dev_codes = morton.join_u64(dev_hi, dev_lo)
+    dev_node_counts = Counter()
+    for level in set(dev_level.tolist()):
+        mask = dev_level == level
+        prefixes = dev_codes[mask] >> np.uint64(3 * (depth - level))
+        for p, c in zip(*np.unique(prefixes, return_counts=True)):
+            dev_node_counts[(int(level), int(p))] = int(c)
+    assert host_node_counts == dict(dev_node_counts)
+
+
+def test_cull_kernel_matches_host_octree(tmp_path):
+    rng = np.random.default_rng(4)
+    batch = PointsBatch(
+        position=rng.random((120_000, 3)) * 50.0,
+        attributes={"color": rng.integers(0, 255, (120_000, 3), dtype=np.uint8)},
+    )
+    out = str(tmp_path / "oct")
+    build_octree(out, 0.01, batch)
+    octree = Octree.from_directory(out)
+
+    eye = Isometry.from_axis_angle([1, 0, 0], 0.2, translation=[25.0, 25.0, 120.0])
+    frustum = Frustum.new(eye, Perspective.from_fov(1.0, 1.1, 0.5, 200.0))
+
+    host_order, _ = octree.visible_nodes_with_sizes(frustum)
+    host_visible = set(host_order.tolist())
+
+    axes, qmin, qmax = frustum_axes_and_projections(frustum)
+    order, sizes, visible = frustum_cull_lod_select(
+        jnp.asarray(frustum.clip_from_query, dtype=jnp.float32),
+        jnp.asarray(axes),
+        jnp.asarray(qmin),
+        jnp.asarray(qmax),
+        jnp.asarray(octree.cube_mins, dtype=jnp.float32),
+        jnp.asarray(octree.cube_edges, dtype=jnp.float32),
+        jnp.asarray(octree.num_points, dtype=jnp.int32),
+    )
+    dev_visible = set(np.nonzero(np.asarray(visible))[0].tolist())
+    # f32 vs f64 may flip borderline nodes; require near-identical sets.
+    sym_diff = host_visible ^ dev_visible
+    assert len(sym_diff) <= max(2, len(host_visible) // 100)
+
+
+def test_sharded_build_step_multichip():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from point_cloud_viewer_tpu.parallel.mesh import make_mesh
+    from point_cloud_viewer_tpu.parallel.sharded_build import make_sharded_build_step
+
+    devices = jax.devices("cpu")
+    assert len(devices) >= 8
+    mesh = make_mesh(8, devices=devices)
+    rng = np.random.default_rng(5)
+    n = 8 * 512
+    positions = rng.random((n, 3), dtype=np.float32) * 64.0
+
+    step = make_sharded_build_step(mesh, capacity_factor=4.0, stats_level=3)
+    pos = jax.device_put(positions, NamedSharding(mesh, P("shard")))
+    root_min = jax.device_put(jnp.zeros(3, jnp.float32), NamedSharding(mesh, P()))
+    root_edge = jax.device_put(jnp.float32(64.0), NamedSharding(mesh, P()))
+    result, total_nodes = step(pos, root_min, root_edge)
+
+    valid = int(np.sum(np.asarray(result.valid_count)))
+    dropped = int(np.sum(np.asarray(result.overflow)))
+    assert valid + dropped == n
+    assert dropped == 0
+
+    # Cross-check the level-3 node count against a host computation.
+    cells = morton.quantize(positions.astype(np.float64), np.zeros(3), 64.0, 21)
+    codes = morton.morton_encode(cells)
+    host_nodes = len(np.unique(codes >> np.uint64(3 * (21 - 3))))
+    assert int(np.asarray(total_nodes)[0]) == host_nodes
+
+    # Every shard's code range must be disjoint and globally sorted.
+    hi = np.asarray(result.code_hi).reshape(8, -1)
+    counts = np.asarray(result.valid_count).reshape(8)
+    prev_max = -1
+    for s in range(8):
+        v = hi[s][: counts[s]]
+        assert (np.diff(v.astype(np.int64)) >= 0).all()
+        if len(v):
+            assert int(v[0]) >= prev_max or prev_max == -1
+            prev_max = int(v[-1])
