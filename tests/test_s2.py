@@ -1,0 +1,138 @@
+"""S2 cell-ID tests: validation against an independent recursive Hilbert
+implementation, id-algebra invariants, tokens, and geometric sanity."""
+
+import numpy as np
+import pytest
+
+from point_cloud_viewer_tpu.math import s2
+
+
+def _hilbert_pos_reference(face: int, i: int, j: int) -> int:
+    """Independent bit-by-bit Hilbert traversal (one level at a time),
+    following the S2 definition: orientation starts at face & 1 (swap),
+    each level picks the 2x2 sub-cell and composes orientation."""
+    SWAP, INVERT = 1, 2
+    # pos -> (ij, next-orientation-delta), from the S2 tables.
+    pos_to_ij = [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]]
+    pos_to_orient = [SWAP, 0, 0, INVERT | SWAP]
+    # invert: ij -> pos per orientation
+    ij_to_pos = [[0] * 4 for _ in range(4)]
+    for o in range(4):
+        for p in range(4):
+            ij_to_pos[o][pos_to_ij[o][p]] = p
+    orientation = face & SWAP
+    pos = 0
+    for k in range(s2.MAX_LEVEL - 1, -1, -1):
+        bit_i = (i >> k) & 1
+        bit_j = (j >> k) & 1
+        ij = (bit_i << 1) | bit_j
+        p = ij_to_pos[orientation][ij]
+        pos = (pos << 2) | p
+        orientation ^= pos_to_orient[p]
+    return pos
+
+
+def test_cell_id_matches_recursive_reference():
+    rng = np.random.default_rng(0)
+    faces = rng.integers(0, 6, 50)
+    ijs = rng.integers(0, 2**30, (50, 2))
+    ids = s2.cell_id_from_face_ij(faces, ijs[:, 0], ijs[:, 1])
+    for f, (i, j), cid in zip(faces, ijs, ids):
+        expected = (int(f) << s2.POS_BITS) | (
+            _hilbert_pos_reference(int(f), int(i), int(j)) << 1
+        ) | 1
+        assert int(cid) == expected
+
+
+def test_face_ij_roundtrip():
+    rng = np.random.default_rng(1)
+    faces = rng.integers(0, 6, 200)
+    i = rng.integers(0, 2**30, 200)
+    j = rng.integers(0, 2**30, 200)
+    ids = s2.cell_id_from_face_ij(faces, i, j)
+    f2, i2, j2 = s2.cell_id_to_face_ij(ids)
+    np.testing.assert_array_equal(f2, faces)
+    np.testing.assert_array_equal(i2, i)
+    np.testing.assert_array_equal(j2, j)
+
+
+def test_face_cells_and_tokens():
+    # Face cells are (2*face + 1) << 60 with 1-nibble tokens 1,3,5,7,9,b.
+    for face, tok in zip(range(6), ["1", "3", "5", "7", "9", "b"]):
+        cid = np.uint64((2 * face + 1) << 60)
+        assert s2.level_of(np.array([cid]))[0] == 0
+        assert s2.token(cid) == tok
+        assert s2.token_to_id(tok) == int(cid)
+    assert s2.token(0) == "X"
+    assert s2.token_to_id("X") == 0
+
+
+def test_level_parent_contains():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(100, 3))
+    leaves = s2.leaf_cell_ids_from_points(pts)
+    assert (s2.level_of(leaves) == 30).all()
+    for level in [0, 5, 10, 20, 29]:
+        parents = s2.parent(leaves, level)
+        assert (s2.level_of(parents) == level).all()
+        assert s2.contains(parents, leaves).all()
+        # A parent's parent contains the parent.
+        if level > 0:
+            grand = s2.parent(leaves, level - 1)
+            assert s2.contains(grand, parents).all()
+
+
+def test_contains_is_exclusive_between_siblings():
+    pts = np.array([[1.0, 0.3, 0.2]])
+    leaf = s2.leaf_cell_ids_from_points(pts)[0]
+    p = s2.parent(np.array([leaf]), 10)[0]
+    kids = s2.children(int(p))
+    inside = [bool(s2.contains(np.array([k]), np.array([leaf]))[0]) for k in kids]
+    assert sum(inside) == 1
+    assert (s2.level_of(np.array(kids)) == 11).all()
+
+
+def test_point_roundtrip_via_cell_center():
+    """A leaf cell's corners must tightly surround the generating point."""
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(50, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    leaves = s2.leaf_cell_ids_from_points(pts)
+    corners = s2.cell_corners_xyz(s2.parent(leaves, 20))
+    # Corner mean direction ~ point direction within the cell diameter at
+    # level 20 (about 1e-5 rad).
+    centers = corners.mean(axis=1)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    dots = np.sum(centers * pts, axis=1)
+    assert (dots > 1 - 1e-9).all()
+
+
+def test_quadratic_st_uv_roundtrip():
+    s = np.linspace(0, 1, 1001)
+    np.testing.assert_allclose(s2.uv_to_st(s2.st_to_uv(s)), s, atol=1e-14)
+    u = np.linspace(-1, 1, 1001)
+    np.testing.assert_allclose(s2.st_to_uv(s2.uv_to_st(u)), u, atol=1e-14)
+
+
+def test_xyz_face_uv_roundtrip():
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(500, 3))
+    face, u, v = s2.xyz_to_face_uv(pts)
+    back = s2.face_uv_to_xyz(face, u, v)
+    # back is unnormalized; directions must match.
+    cos = np.sum(back * pts, axis=1) / (
+        np.linalg.norm(back, axis=1) * np.linalg.norm(pts, axis=1)
+    )
+    assert (cos > 1 - 1e-12).all()
+
+
+def test_range_ordering_follows_hilbert_locality():
+    # Consecutive i at fixed j on one face produce ids whose level-10
+    # parents are equal or adjacent most of the time (locality smoke test).
+    face = np.zeros(1000, dtype=np.int64)
+    i = np.arange(1000) + 2**20
+    j = np.full(1000, 2**20)
+    ids = s2.cell_id_from_face_ij(face, i, j)
+    parents = s2.parent(ids, 12)
+    # Number of distinct parents should be tiny compared to points.
+    assert len(np.unique(parents)) < 20
