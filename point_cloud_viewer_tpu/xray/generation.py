@@ -1,0 +1,251 @@
+"""X-ray tile generation: coloring strategies as vectorized splat kernels.
+
+The reference accumulates per-pixel hash maps point by point
+(xray/src/generation.rs:99-405); here each strategy is a segment reduction
+over discretized (pixel, z-bucket / bin) keys — one np.unique + bincount
+pass per tile, the same shape as a TPU scatter-add.  Semantics preserved:
+
+* discretization: x = trunc((px-min)/diag * size), y flipped (image origin
+  top-left), z into 1024 buckets (generation.rs:108-127);
+* XRay: saturation = ln(#occupied z buckets)/ln(1024), gray = (1-s)*255;
+* Colored / Intensity: per-(pixel, bin) means, then mean over bins;
+* HeightStddev: population stddev of z clamped to max_stddev -> colormap;
+* pixels without points are transparent; a later pass assigns the tile
+  background color to pixels with alpha < 128.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.points_batch import PointsBatch
+from ..math.geometry import Aabb
+from . import colormap as cm
+
+NUM_Z_BUCKETS = 1024.0
+
+
+def discretize(
+    positions: np.ndarray, bbox: Aabb, image_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, 3) -> (pixel keys (M,), kept-point indices (M,)).  Pixel key =
+    y * image_size + x.  Points that discretize outside [0, size) are
+    dropped (they would land in never-read hash slots in the reference)."""
+    diag = bbox.diag()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = ((positions[:, 0] - bbox.mins[0]) / diag[0] * image_size).astype(np.int64)
+        y = ((1.0 - (positions[:, 1] - bbox.mins[1]) / diag[1]) * image_size).astype(
+            np.int64
+        )
+        z = ((positions[:, 2] - bbox.mins[2]) / diag[2] * NUM_Z_BUCKETS).astype(
+            np.int64
+        )
+    keep = (x >= 0) & (x < image_size) & (y >= 0) & (y < image_size)
+    idx = np.nonzero(keep)[0]
+    return (y[idx] * image_size + x[idx], np.clip(z[idx], 0, int(NUM_Z_BUCKETS)), idx)
+
+
+class ColoringStrategy:
+    """Accumulates point batches for one tile, then renders RGBA pixels."""
+
+    attributes: Sequence[str] = ()
+
+    def process(self, batch: PointsBatch, bbox: Aabb, image_size: int) -> None:
+        raise NotImplementedError
+
+    def render(self, image_size: int) -> np.ndarray:
+        """-> (size, size, 4) u8 RGBA; untouched pixels transparent."""
+        raise NotImplementedError
+
+
+class XRayStrategy(ColoringStrategy):
+    """Density: gray level from the log-count of occupied z buckets."""
+
+    def __init__(self) -> None:
+        self._keys = []
+
+    def process(self, batch, bbox, image_size):
+        pix, z, idx = discretize(batch.position, bbox, image_size)
+        self._keys.append(pix * 2048 + z)
+
+    def render(self, image_size):
+        img = np.zeros((image_size * image_size, 4), dtype=np.uint8)
+        if self._keys:
+            keys = np.unique(np.concatenate(self._keys))  # distinct (pixel, z)
+            pix, counts = np.unique(keys // 2048, return_counts=True)
+            saturation = np.log(counts.astype(np.float64)) / np.log(NUM_Z_BUCKETS)
+            value = ((1.0 - saturation) * 255.0).astype(np.uint8)
+            img[pix, 0] = value
+            img[pix, 1] = value
+            img[pix, 2] = value
+            img[pix, 3] = 255
+        return img.reshape(image_size, image_size, 4)
+
+
+def _binning_values(batch: PointsBatch, binning, idx: np.ndarray) -> np.ndarray:
+    if binning is None:
+        return np.zeros(len(idx), dtype=np.int64)
+    name, size = binning
+    data = batch.attributes.get(name)
+    if data is None:
+        raise KeyError("Binning attribute needs to be available in points batch.")
+    return (data[idx].astype(np.float64) / size).astype(np.int64)
+
+
+class _MeanOverBinsStrategy(ColoringStrategy):
+    """Shared machinery: per-(pixel, bin) means of a value vector, then the
+    mean over bins per pixel."""
+
+    def __init__(self, binning=None, channels: int = 1) -> None:
+        self.binning = binning
+        self.channels = channels
+        self._pix = []
+        self._bin = []
+        self._val = []  # (M, channels)
+
+    def _accumulate(self, batch, bbox, image_size, values) -> None:
+        pix, _, idx = discretize(batch.position, bbox, image_size)
+        self._pix.append(pix)
+        self._bin.append(_binning_values(batch, self.binning, idx))
+        self._val.append(np.atleast_2d(values[idx].reshape(len(idx), -1)))
+
+    def _pixel_means(self):
+        """-> (pixels (K,), means (K, channels)) mean-over-bins values."""
+        if not self._pix:
+            return np.empty(0, np.int64), np.empty((0, self.channels))
+        pix = np.concatenate(self._pix)
+        bins = np.concatenate(self._bin)
+        vals = np.concatenate(self._val, axis=0).astype(np.float64)
+        # Group by (pixel, bin).
+        key = np.stack([pix, bins], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        counts = np.bincount(inv)
+        sums = np.stack(
+            [np.bincount(inv, weights=vals[:, c]) for c in range(vals.shape[1])],
+            axis=1,
+        )
+        bin_means = sums / counts[:, None]
+        # Mean over bins per pixel.
+        pix_ids, pinv = np.unique(uniq[:, 0], return_inverse=True)
+        pcounts = np.bincount(pinv)
+        psums = np.stack(
+            [np.bincount(pinv, weights=bin_means[:, c]) for c in range(vals.shape[1])],
+            axis=1,
+        )
+        return pix_ids, psums / pcounts[:, None]
+
+
+class PointColorStrategy(_MeanOverBinsStrategy):
+    """Binned mean of point colors (reference: generation.rs:294-363)."""
+
+    attributes = ("color",)
+
+    def __init__(self, binning=None) -> None:
+        super().__init__(binning, channels=3)
+        if binning is not None:
+            self.attributes = ("color", binning[0])
+
+    def process(self, batch, bbox, image_size):
+        color = batch.attributes.get("color")
+        if color is None:
+            raise KeyError("Coloring was requested, but point data without color found.")
+        self._accumulate(batch, bbox, image_size, color.astype(np.float64) / 255.0)
+
+    def render(self, image_size):
+        img = np.zeros((image_size * image_size, 4), dtype=np.uint8)
+        pix, means = self._pixel_means()
+        if len(pix):
+            img[pix, :3] = (means * 255.0).astype(np.uint8)
+            img[pix, 3] = 255
+        return img.reshape(image_size, image_size, 4)
+
+
+class IntensityStrategy(_MeanOverBinsStrategy):
+    """Log-brightened mean intensity (reference: generation.rs:210-290).
+    Negative intensities are dropped (the reference aborts the batch; we
+    filter instead)."""
+
+    def __init__(self, min_intensity: float, max_intensity: float, binning=None) -> None:
+        super().__init__(binning, channels=1)
+        self.min = min_intensity
+        self.max = max_intensity
+        self.attributes = ("intensity",) if binning is None else ("intensity", binning[0])
+
+    def process(self, batch, bbox, image_size):
+        intensity = batch.attributes.get("intensity")
+        if intensity is None:
+            raise KeyError(
+                "Coloring by intensity was requested, but point data without intensity found."
+            )
+        keep = intensity >= 0
+        if not keep.all():
+            batch = batch.retain(keep)
+            intensity = intensity[keep]
+        self._accumulate(batch, bbox, image_size, intensity.astype(np.float64))
+
+    def render(self, image_size):
+        img = np.zeros((image_size * image_size, 4), dtype=np.uint8)
+        pix, means = self._pixel_means()
+        if len(pix):
+            mean = np.clip(means[:, 0], self.min, self.max)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                brighten = np.log(np.maximum(mean - self.min, 0.0)) / np.log(
+                    self.max - self.min
+                )
+            v = np.clip(np.nan_to_num(brighten, neginf=0.0), 0.0, 1.0)
+            value = (v * 255.0).astype(np.uint8)
+            img[pix, 0] = value
+            img[pix, 1] = value
+            img[pix, 2] = value
+            img[pix, 3] = 255
+        return img.reshape(image_size, image_size, 4)
+
+
+class HeightStddevStrategy(ColoringStrategy):
+    """Per-pixel stddev of z through a colormap (generation.rs:365-405)."""
+
+    def __init__(self, max_stddev: float, colormap: Callable = cm.monochrome) -> None:
+        self.max_stddev = max_stddev
+        self.colormap = colormap
+        self._pix = []
+        self._z = []
+
+    def process(self, batch, bbox, image_size):
+        pix, _, idx = discretize(batch.position, bbox, image_size)
+        self._pix.append(pix)
+        self._z.append(batch.position[idx, 2])
+
+    def render(self, image_size):
+        img = np.zeros((image_size * image_size, 4), dtype=np.uint8)
+        if self._pix:
+            pix = np.concatenate(self._pix)
+            z = np.concatenate(self._z)
+            uniq, inv = np.unique(pix, return_inverse=True)
+            n = np.bincount(inv)
+            s1 = np.bincount(inv, weights=z)
+            s2 = np.bincount(inv, weights=z * z)
+            var = np.maximum(s2 / n - (s1 / n) ** 2, 0.0)
+            sat = np.clip(np.sqrt(var), 0.0, self.max_stddev) / self.max_stddev
+            img[uniq] = self.colormap(sat.astype(np.float32))
+        return img.reshape(image_size, image_size, 4)
+
+
+def make_strategy(kind: str, **kwargs) -> ColoringStrategy:
+    """Factory mirroring the reference's ColoringStrategyKind
+    (xray/src/generation.rs:66-96)."""
+    if kind == "xray":
+        return XRayStrategy()
+    if kind == "colored":
+        return PointColorStrategy(binning=kwargs.get("binning"))
+    if kind == "colored_with_intensity":
+        return IntensityStrategy(
+            kwargs.get("min_intensity", 1.0),
+            kwargs.get("max_intensity", 1.0e5),
+            binning=kwargs.get("binning"),
+        )
+    if kind == "colored_with_height_stddev":
+        return HeightStddevStrategy(kwargs.get("max_stddev", 1.0))
+    raise ValueError(f"unknown coloring strategy {kind!r}")
