@@ -1,0 +1,75 @@
+"""CLI: stream a query over point clouds and print stats — the smoke-test
+client (reference: point_cloud_client/src/bin/test.rs)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("locations", nargs="+", help="Point cloud directories.")
+    parser.add_argument("--attributes", nargs="*", default=["color"])
+    parser.add_argument(
+        "--aabb", default=None, metavar="X0,Y0,Z0,X1,Y1,Z1",
+        help="Restrict to an axis-aligned box.",
+    )
+    parser.add_argument(
+        "--filter_interval", action="append", default=[], metavar="ATTR=LO,HI"
+    )
+    parser.add_argument("--num_points", type=int, default=None,
+                        help="Stop after this many points.")
+    parser.add_argument("--batch_size", type=int, default=500_000)
+    parser.add_argument("--num_threads", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from ..math.geometry import Aabb
+    from ..math.intervals import ClosedInterval
+    from ..query.client import PointCloudClient
+    from ..query.point_query import PointQuery
+    from ..query.location import AllPoints
+
+    location = AllPoints()
+    if args.aabb:
+        v = [float(x) for x in args.aabb.split(",")]
+        location = Aabb(v[:3], v[3:])
+    intervals = {}
+    for kv in args.filter_interval:
+        k, s = kv.split("=", 1)
+        intervals[k] = ClosedInterval.from_str(s)
+
+    client = PointCloudClient.from_locations(
+        args.locations, batch_size=args.batch_size, num_threads=args.num_threads
+    )
+    total = [0]
+    start = time.perf_counter()
+
+    class Done(Exception):
+        pass
+
+    def cb(batch):
+        total[0] += len(batch)
+        if args.num_points is not None and total[0] >= args.num_points:
+            raise Done()
+
+    try:
+        client.for_each_point_data(
+            PointQuery(
+                attributes=args.attributes,
+                location=location,
+                filter_intervals=intervals,
+            ),
+            cb,
+        )
+    except Done:
+        pass
+    elapsed = time.perf_counter() - start
+    rate = total[0] / elapsed / 1e6 if elapsed > 0 else 0.0
+    print(f"Streamed {total[0]} points in {elapsed:.3f}s ({rate:.2f} Mpoints/s).")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

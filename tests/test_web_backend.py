@@ -1,0 +1,195 @@
+"""Web backend tests: real HTTP round trips against both servers, binary
+blob layout validation, and CLI smoke tests."""
+
+import json
+import struct
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+from point_cloud_viewer_tpu.math.geometry import Frustum, Isometry, Perspective
+from point_cloud_viewer_tpu.octree.builder import build_octree
+from point_cloud_viewer_tpu.octree.node_id import NodeId
+from point_cloud_viewer_tpu.octree.octree import Octree
+
+
+@pytest.fixture(scope="module")
+def served_octree(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    n = 50_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 20.0,
+        attributes={
+            "color": rng.integers(0, 256, (n, 3), dtype=np.uint8),
+            "intensity": rng.random(n).astype(np.float32),
+        },
+    )
+    root = tmp_path_factory.mktemp("trees")
+    out = str(root / "mycloud")
+    build_octree(out, 0.001, batch)
+
+    from point_cloud_viewer_tpu.viewer.web_backend import AppState, make_server
+
+    state = AppState(prefix=str(root), init_octree_id="mycloud")
+    server = make_server(state, ip="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", out
+    server.shutdown()
+
+
+def _get(url: str) -> bytes:
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.read()
+
+
+def _post(url: str, body: bytes) -> bytes:
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.read()
+
+
+def test_init_tree(served_octree):
+    base, _ = served_octree
+    assert _get(base + "/init_tree").decode() == "mycloud"
+
+
+def test_index_serves_client(served_octree):
+    base, _ = served_octree
+    html = _get(base + "/").decode()
+    assert "<canvas" in html and "visible_nodes" in html
+
+
+def test_visible_nodes_roundtrip(served_octree):
+    base, out = served_octree
+    octree = Octree.from_directory(out)
+    eye = Isometry.from_axis_angle([1, 0, 0], 0.0, translation=[10.0, 10.0, 90.0])
+    frustum = Frustum.new(eye, Perspective.from_fov(1.0, 1.2, 0.5, 300.0))
+    # Column-major entries like the TS client sends.
+    entries = frustum.clip_from_query.T.reshape(-1)
+    matrix_param = ",".join(repr(float(v)) for v in entries)
+    names = json.loads(_get(f"{base}/visible_nodes/mycloud/?matrix={matrix_param}"))
+    expected = [str(n) for n in octree.get_visible_nodes(frustum.clip_from_query)]
+    assert names == expected
+    assert names[0] == "r"
+
+
+def test_visible_nodes_bad_matrix(served_octree):
+    base, _ = served_octree
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/visible_nodes/mycloud/?matrix=1,2,3")
+    assert e.value.code == 400
+
+
+def test_nodes_data_blob_layout(served_octree):
+    base, out = served_octree
+    octree = Octree.from_directory(out)
+    names = ["r"] + [str(n) for n in octree.node_ids if n.level == 1][:2]
+    blob = _post(f"{base}/nodes_data/mycloud/", json.dumps(names).encode())
+
+    off = 0
+    for name in names:
+        meta = octree.node_meta(NodeId.from_str(name))
+        minx, miny, minz, edge = struct.unpack_from("<dddd", blob, off)
+        np.testing.assert_allclose([minx, miny, minz], meta.cube_min)
+        assert edge == meta.edge_length
+        num_points, bpc = struct.unpack_from("<IB", blob, off + 32)
+        assert num_points == meta.num_points
+        assert bpc == meta.position_encoding.bytes_per_coordinate
+        off += 37
+        off = (off + 7) & ~7
+        pos_bytes = blob[off : off + num_points * 3 * bpc]
+        # Decode and verify positions are inside the node cube.
+        if bpc == 2:
+            t = np.frombuffer(pos_bytes, "<u2").astype(np.float64) / 65535.0
+        elif bpc == 1:
+            t = np.frombuffer(pos_bytes, "<u1").astype(np.float64) / 255.0
+        elif bpc == 4:
+            t = np.frombuffer(pos_bytes, "<f4").astype(np.float64)
+        else:
+            t = np.frombuffer(pos_bytes, "<f8")
+        pos = t.reshape(-1, 3) * edge + [minx, miny, minz]
+        assert (pos >= meta.cube_min - 1e-9).all()
+        assert (pos <= meta.cube_min + edge + 1e-9).all()
+        off += len(pos_bytes)
+        off = (off + 7) & ~7
+        off += num_points * 3  # rgb
+        off = (off + 7) & ~7
+    assert off == len(blob)
+
+
+def test_unknown_tree_404(served_octree):
+    base, _ = served_octree
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/visible_nodes/nosuch/?matrix={','.join(['1.0'] * 16)}")
+    assert e.value.code in (404, 500)
+
+
+def test_xray_server(tmp_path):
+    from point_cloud_viewer_tpu.query.client import PointCloudClient
+    from point_cloud_viewer_tpu.xray.backend import make_server
+    from point_cloud_viewer_tpu.xray.build import XrayParameters, build_xray_quadtree
+
+    rng = np.random.default_rng(6)
+    batch = PointsBatch(
+        position=rng.random((20_000, 3)) * 3.0,
+        attributes={"color": rng.integers(0, 256, (20_000, 3), dtype=np.uint8)},
+    )
+    cloud = str(tmp_path / "cloud")
+    build_octree(cloud, 0.001, batch)
+    xdir = str(tmp_path / "xray")
+    client = PointCloudClient.from_locations([cloud], num_threads=2)
+    build_xray_quadtree(
+        "xray",
+        XrayParameters(
+            output_directory=xdir, point_cloud_client=client,
+            tile_size_px=64, pixel_size_m=0.05,
+        ),
+        num_threads=2,
+    )
+    server = make_server(xdir, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        meta = json.loads(_get(base + "/meta"))
+        assert meta["tile_size"] == 64
+        assert "bounding_rect" in meta
+        identity = [1e-2, 0, 0, 0, 0, 1e-2, 0, 0, 0, 0, 1e-2, 0, 0, 0, 0, 1]
+        tiles = json.loads(
+            _get(f"{base}/nodes_for_level?level=0&matrix={','.join(map(str, identity))}")
+        )
+        assert tiles and tiles[0]["id"] == "r"
+        png = _get(f"{base}/node_image/r")
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        with pytest.raises(urllib.error.HTTPError):
+            _get(f"{base}/node_image/r9")
+    finally:
+        server.shutdown()
+
+
+def test_cli_build_and_query(tmp_path, capsys):
+    from point_cloud_viewer_tpu.cli import build_octree as cli_build
+    from point_cloud_viewer_tpu.cli import query_points as cli_query
+    from point_cloud_viewer_tpu.cli import upgrade_octree as cli_upgrade
+
+    out = str(tmp_path / "oct")
+    rc = cli_build.main(
+        [
+            "/root/reference/src/test_data/xyz_f32_rgb_u8_intensity_f32.ply",
+            "--output_directory", out,
+        ]
+    )
+    assert rc == 0
+    rc = cli_query.main([out, "--attributes", "color"])
+    assert rc == 0
+    assert "Streamed 8 points" in capsys.readouterr().out
+    rc = cli_upgrade.main([out])
+    assert rc == 0
