@@ -1,0 +1,45 @@
+"""CLI: inpaint holes in an X-ray quadtree's leaf tiles and rebuild the
+pyramid (reference: xray/src/bin/inpaint_xray_quadtree.rs)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("directory", help="X-ray quadtree directory.")
+    parser.add_argument(
+        "--inpaint_distance", type=int, default=3,
+        help="Maximum hole radius (in pixels) to fill.",
+    )
+    parser.add_argument("--num_threads", type=int, default=8)
+    parser.add_argument(
+        "--rebuild_pyramid", action="store_true",
+        help="Rebuild non-leaf tiles from the inpainted leaves.",
+    )
+    args = parser.parse_args(argv)
+
+    from ..xray.build import create_non_leaf_nodes
+    from ..xray.inpaint import perform_inpainting
+    from ..xray.meta import XrayMeta
+
+    meta = XrayMeta.from_directory(args.directory)
+    leaves = meta.iter_level(meta.deepest_level)
+    perform_inpainting(
+        args.directory, args.inpaint_distance, leaves, num_threads=args.num_threads
+    )
+    print(f"Inpainted {len(leaves)} leaf tiles (distance {args.inpaint_distance}px).")
+    if args.rebuild_pyramid:
+        root = meta.root_node()
+        create_non_leaf_nodes(
+            set(leaves), meta.deepest_level, root.level if root else 0,
+            args.directory, (255, 255, 255, 255), meta.tile_size,
+        )
+        print("Rebuilt pyramid.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,275 @@
+"""Headless viewer runtime — the sdl_viewer's engine without the window.
+
+Reproduces the reference's interactive machinery
+(sdl_viewer/src/lib.rs:350-611, node_drawer.rs):
+
+* visible-node selection on a BACKGROUND thread; queued camera matrices are
+  drained so only the latest wins (lib.rs:95-111),
+* an LRU node cache sized max_nodes_in_memory = cache_size_mb * 5, filled by
+  an async loader with at most 10 requests in flight (node_drawer.rs:263-336),
+* point order within a node is SHUFFLED once at load, so drawing a prefix
+  of 1/lod of the points is a uniform subsample (node_drawer.rs:185-201),
+* an adaptive node budget while moving: shrink 10% when FPS < 20, grow 10%
+  when FPS > 25 (lib.rs:220-227).
+
+The draw target is pluggable; the built-in one is the numpy software
+rasterizer, so the whole viewer stack runs (and is benchmarked) headless.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..octree.node_id import NodeId
+from ..octree.octree import Octree
+from .camera import Camera
+from .software_raster import rasterize_points
+
+MAX_NODES_IN_FLIGHT = 10
+FPS_LOWER, FPS_UPPER = 20.0, 25.0
+
+
+@dataclass
+class NodeView:
+    """A node's decoded, shuffled point data ready to draw."""
+
+    positions: np.ndarray  # (N, 3) f32-ish world coords
+    colors: np.ndarray  # (N, 3) u8
+
+    def prefix(self, level_of_detail: int) -> Tuple[np.ndarray, np.ndarray]:
+        n = int(np.ceil(len(self.positions) / level_of_detail))
+        return self.positions[:n], self.colors[:n]
+
+
+class NodeViewContainer:
+    """LRU cache + async loader (reference node_drawer.rs:263-336)."""
+
+    def __init__(self, octree: Octree, max_nodes_in_memory: int) -> None:
+        self.octree = octree
+        self.max_nodes = max_nodes_in_memory
+        self._cache: "OrderedDict[int, NodeView]" = OrderedDict()
+        self._in_flight: Dict[int, bool] = {}
+        self._arrived: "queue.Queue" = queue.Queue()
+        self._pool = ThreadPoolExecutor(max_workers=4)
+        self._lock = threading.Lock()
+        self._rng = np.random.default_rng(2)
+
+    def _load(self, node_id: NodeId) -> None:
+        try:
+            batch = self.octree.points_in_node(node_id, attributes=["color"])
+            perm = self._rng.permutation(len(batch))
+            view = NodeView(
+                positions=batch.position[perm],
+                colors=batch.attributes["color"][perm],
+            )
+            self._arrived.put((node_id.value, view))
+        except Exception:
+            self._arrived.put((node_id.value, None))
+
+    def consume_arrived(self) -> int:
+        """Move completed loads into the cache; returns how many arrived."""
+        n = 0
+        while True:
+            try:
+                key, view = self._arrived.get_nowait()
+            except queue.Empty:
+                break
+            with self._lock:
+                self._in_flight.pop(key, None)
+                if view is not None:
+                    self._cache[key] = view
+                    self._cache.move_to_end(key)
+                    while len(self._cache) > self.max_nodes:
+                        self._cache.popitem(last=False)
+            n += 1
+        return n
+
+    def get_or_request(self, node_id: NodeId) -> Optional[NodeView]:
+        key = node_id.value
+        with self._lock:
+            view = self._cache.get(key)
+            if view is not None:
+                self._cache.move_to_end(key)
+                return view
+            if key not in self._in_flight and len(self._in_flight) < MAX_NODES_IN_FLIGHT:
+                self._in_flight[key] = True
+                self._pool.submit(self._load, node_id)
+        return None
+
+    def shutdown(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+@dataclass
+class FrameStats:
+    nodes_drawn: int = 0
+    points_drawn: int = 0
+    visible_nodes: int = 0
+    moving: bool = False
+
+
+class PointCloudRenderer:
+    """The per-frame engine: visible-node thread + cache + draw."""
+
+    def __init__(
+        self,
+        octree: Octree,
+        cache_size_mb: int = 2000,
+        width: int = 800,
+        height: int = 600,
+    ) -> None:
+        # ~200 KB per node => max nodes = MB * 5 (reference lib.rs:374-385).
+        self.octree = octree
+        self.node_views = NodeViewContainer(octree, max_nodes_in_memory=cache_size_mb * 5)
+        self.width = width
+        self.height = height
+        self.max_nodes_moving = cache_size_mb * 5
+        self.point_size_lod = 2  # draw 1/2 of points while moving
+        self.show_octree_nodes = False
+        self._visible: List[NodeId] = []
+        self._matrix_queue: "queue.Queue" = queue.Queue()
+        self._visible_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._visible_worker, daemon=True)
+        self._thread.start()
+        self._last_fps: Optional[float] = None
+
+    # -- background visible-node computation -------------------------------
+
+    def _visible_worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                matrix = self._matrix_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            # Drain: only the latest matrix matters (lib.rs:102-111).
+            while True:
+                try:
+                    matrix = self._matrix_queue.get_nowait()
+                except queue.Empty:
+                    break
+            visible = self.octree.get_visible_nodes(matrix)
+            with self._visible_lock:
+                self._visible = visible
+
+    def camera_changed(self, world_to_gl: np.ndarray) -> None:
+        self._matrix_queue.put(world_to_gl)
+
+    # -- adaptive budget -----------------------------------------------------
+
+    def adapt_budget(self, fps: float) -> None:
+        """FPS feedback: +-10% node budget (reference lib.rs:220-227)."""
+        if fps < FPS_LOWER:
+            self.max_nodes_moving = max(1, int(self.max_nodes_moving * 0.9))
+        elif fps > FPS_UPPER:
+            self.max_nodes_moving = min(
+                self.node_views.max_nodes, int(self.max_nodes_moving * 1.1) + 1
+            )
+
+    # -- drawing ------------------------------------------------------------
+
+    def draw(
+        self, world_to_gl: np.ndarray, moving: bool = False, render: bool = False
+    ):
+        """One frame: returns (FrameStats, image or None)."""
+        self.node_views.consume_arrived()
+        with self._visible_lock:
+            visible = list(self._visible)
+        limit = self.max_nodes_moving if moving else len(visible)
+        lod = self.point_size_lod if moving else 1
+        stats = FrameStats(visible_nodes=len(visible), moving=moving)
+        pos_parts, col_parts = [], []
+        for node_id in visible[:limit]:
+            view = self.node_views.get_or_request(node_id)
+            if view is None:
+                continue
+            p, c = view.prefix(lod)
+            stats.nodes_drawn += 1
+            stats.points_drawn += len(p)
+            if render:
+                pos_parts.append(p)
+                col_parts.append(c)
+        image = None
+        if render:
+            positions = (
+                np.concatenate(pos_parts) if pos_parts else np.empty((0, 3))
+            )
+            colors = (
+                np.concatenate(col_parts)
+                if col_parts
+                else np.empty((0, 3), dtype=np.uint8)
+            )
+            image = rasterize_points(
+                positions, colors, world_to_gl, self.width, self.height
+            )
+        return stats, image
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self.node_views.shutdown()
+
+
+def run_headless(
+    octree_directory: str,
+    num_frames: int = 100,
+    width: int = 800,
+    height: int = 600,
+    screenshot_path: Optional[str] = None,
+    frame_pacing_s: float = 0.01,
+) -> FrameStats:
+    """Drive the full viewer loop headlessly: orbit the camera around the
+    cloud, stream nodes, adapt the budget, and optionally save the final
+    frame.  Returns the last frame's stats."""
+    octree = Octree.from_directory(octree_directory)
+    camera = Camera(width, height)
+    center = octree.bounding_box.center()
+    diag = float(np.linalg.norm(octree.bounding_box.diag()))
+    renderer = PointCloudRenderer(octree, width=width, height=height)
+    try:
+        stats = FrameStats()
+        last = time.perf_counter()
+        for frame in range(num_frames):
+            angle = 2 * np.pi * frame / num_frames
+            camera.position = center + diag * np.array(
+                [np.cos(angle), np.sin(angle), 0.5]
+            )
+            camera.theta = angle + np.pi / 2
+            camera.phi = np.pi / 3
+            camera.moved = True
+            moved = camera.update(1 / 60)
+            matrix = camera.world_to_gl()
+            renderer.camera_changed(matrix)
+            want_shot = screenshot_path is not None and frame == num_frames - 1
+            stats, image = renderer.draw(matrix, moving=moved, render=want_shot)
+            if want_shot:
+                # Let the async loads settle so the final frame is complete.
+                deadline = time.perf_counter() + 5.0
+                while (
+                    stats.nodes_drawn < stats.visible_nodes
+                    and time.perf_counter() < deadline
+                ):
+                    time.sleep(0.02)
+                    stats, image = renderer.draw(
+                        matrix, moving=False, render=True
+                    )
+            now = time.perf_counter()
+            fps = 1.0 / max(now - last, 1e-6)
+            last = now
+            renderer.adapt_budget(fps)
+            if want_shot and image is not None:
+                from PIL import Image
+
+                Image.fromarray(image, "RGBA").save(screenshot_path)
+            time.sleep(frame_pacing_s)
+        return stats
+    finally:
+        renderer.shutdown()

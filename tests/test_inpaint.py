@@ -1,0 +1,86 @@
+"""Inpainting tests: hole filling, border preservation, seam blending."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from point_cloud_viewer_tpu.xray.build import image_path
+from point_cloud_viewer_tpu.xray.inpaint import (
+    inpaint_image,
+    perform_inpainting,
+)
+from point_cloud_viewer_tpu.xray.quadtree import QuadNodeId
+
+
+def _tile(color, size=32):
+    img = np.zeros((size, size, 4), dtype=np.uint8)
+    img[:, :, :3] = color
+    img[:, :, 3] = 255
+    return img
+
+
+def test_inpaint_fills_small_holes_keeps_big_ones():
+    img = _tile((100, 150, 200), size=64)
+    # A small hole (radius 2) and a big hole (radius 12).
+    img[10:14, 10:14] = 0
+    img[30:54, 30:54] = 0
+    out = inpaint_image(img, distance_px=3)
+    # Small hole filled with approximately the surrounding color.
+    assert (out[11, 11, 3] == 255)
+    assert np.abs(out[11, 11, :3].astype(int) - [100, 150, 200]).max() <= 2
+    # Big hole interior stays transparent.
+    assert out[42, 42, 3] == 0
+
+
+def test_inpaint_preserves_outside_border():
+    img = np.zeros((32, 32, 4), dtype=np.uint8)
+    img[8:24, 8:24] = [50, 60, 70, 255]
+    out = inpaint_image(img, distance_px=2)
+    # The open border (large transparent region) must stay transparent.
+    assert out[0, 0, 3] == 0
+    assert out[31, 31, 3] == 0
+
+
+def test_perform_inpainting_across_tiles(tmp_path):
+    d = str(tmp_path)
+    # 2x2 leaf tiles at level 1 with different colors; a hole at a tile
+    # corner touching the seam.
+    ids = [QuadNodeId(1, i) for i in range(4)]
+    colors = {0: (200, 0, 0), 1: (0, 200, 0), 2: (0, 0, 200), 3: (200, 200, 0)}
+    for nid in ids:
+        img = _tile(colors[nid.index], size=32)
+        if nid.index == 0:
+            img[14:18, 28:32] = 0  # hole at right edge of tile 0
+        Image.fromarray(img, "RGBA").save(image_path(d, nid))
+    perform_inpainting(d, 3, ids, num_threads=2)
+    out = np.asarray(Image.open(image_path(d, ids[0])))
+    assert out.shape == (32, 32, 4)
+    # The hole must be filled now.
+    assert (out[14:18, 28:32, 3] == 255).all()
+    # Untouched interior keeps its color exactly outside the seam band.
+    assert tuple(out[4, 4, :3]) == colors[0]
+
+
+def test_cli_inpaint(tmp_path, capsys):
+    d = str(tmp_path)
+    nid = QuadNodeId.root()
+    img = _tile((10, 20, 30), 32)
+    img[5:8, 5:8] = 0
+    Image.fromarray(img, "RGBA").save(image_path(d, nid))
+    from point_cloud_viewer_tpu.protos.xray_meta import XrayMetaProto, RectProto, XrayNodeIdProto
+
+    meta = XrayMetaProto(
+        bounding_rect=RectProto(min=(0, 0), edge_length=32.0),
+        deepest_level=0, tile_size=32,
+        nodes=[XrayNodeIdProto(0, 0)],
+    )
+    with open(os.path.join(d, "meta.pb"), "wb") as f:
+        f.write(meta.encode())
+
+    from point_cloud_viewer_tpu.cli import inpaint_xray_quadtree as cli
+
+    assert cli.main([d, "--inpaint_distance", "3"]) == 0
+    out = np.asarray(Image.open(image_path(d, nid)))
+    assert (out[5:8, 5:8, 3] == 255).all()

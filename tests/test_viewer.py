@@ -1,0 +1,146 @@
+"""Viewer runtime tests: camera semantics, pose store, LRU node cache,
+adaptive budget, headless render loop + software rasterizer."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+from point_cloud_viewer_tpu.octree.builder import build_octree
+from point_cloud_viewer_tpu.octree.octree import Octree
+from point_cloud_viewer_tpu.viewer.camera import Camera, CameraState, PoseStore
+from point_cloud_viewer_tpu.viewer.render_loop import (
+    NodeViewContainer,
+    PointCloudRenderer,
+    run_headless,
+)
+from point_cloud_viewer_tpu.viewer.software_raster import rasterize_points
+
+
+def test_camera_pan_is_in_camera_frame():
+    cam = Camera()
+    cam.theta = np.pi / 2  # yaw 90deg: camera x now points along world y
+    cam.moving["right"] = True
+    assert cam.update(1.0)
+    # Moved along world y by movement_speed.
+    np.testing.assert_allclose(cam.position, [0.0, 10.0, 0.0], atol=1e-12)
+
+
+def test_camera_forward_with_pitch():
+    cam = Camera()
+    cam.phi = np.pi / 2  # pitch up: camera -z now points along world...
+    cam.moving["forward"] = True
+    assert cam.update(1.0)
+    # Rz(0)*Rx(pi/2) maps (0,0,-1) -> (0, 1, 0) approximately? Verify length.
+    assert np.linalg.norm(cam.position) == pytest.approx(10.0)
+
+
+def test_camera_wheel_and_turning():
+    cam = Camera()
+    speed = cam.movement_speed
+    cam.mouse_wheel(2)
+    assert cam.movement_speed > speed
+    cam.turning["left"] = True
+    cam.update(0.5)
+    assert cam.theta == pytest.approx(0.25)
+
+
+def test_pose_store_roundtrip(tmp_path):
+    store = PoseStore(str(tmp_path / "poses.json"))
+    cam = Camera()
+    cam.position = np.array([1.0, 2.0, 3.0])
+    cam.theta, cam.phi = 0.4, -0.2
+    store.save(3, cam.state())
+    loaded = store.load(3)
+    assert loaded is not None
+    cam2 = Camera()
+    cam2.set_state(loaded)
+    np.testing.assert_array_equal(cam2.position, [1.0, 2.0, 3.0])
+    assert cam2.theta == 0.4 and cam2.phi == -0.2
+    assert store.load(7) is None
+
+
+def test_rasterizer_paints_nearest():
+    # Two points on the same pixel; nearer one must win.
+    positions = np.array([[0.0, 0.0, -5.0], [0.0, 0.0, -2.0]])
+    colors = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    from point_cloud_viewer_tpu.math.geometry import Frustum, Isometry, Perspective
+
+    f = Frustum.new(Isometry.identity(), Perspective.from_fov(1.0, 1.0, 0.1, 100.0))
+    img = rasterize_points(positions, colors, f.clip_from_query, 64, 64)
+    center = img[31:33, 31:33].reshape(-1, 4)
+    assert any((px[:3] == [0, 255, 0]).all() for px in center)
+
+
+@pytest.fixture(scope="module")
+def octree_dir(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    n = 120_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 10.0,
+        attributes={
+            "color": rng.integers(30, 255, (n, 3), dtype=np.uint8),
+            "intensity": rng.random(n).astype(np.float32),
+        },
+    )
+    out = str(tmp_path_factory.mktemp("viewcloud"))
+    build_octree(out, 0.001, batch)
+    return out
+
+
+def test_node_view_container_lru_and_shuffle(octree_dir):
+    octree = Octree.from_directory(octree_dir)
+    container = NodeViewContainer(octree, max_nodes_in_memory=2)
+    ids = [n for n in octree.node_ids if octree.node_meta(n).num_points > 100][:4]
+    for nid in ids:
+        assert container.get_or_request(nid) is None  # async: not yet loaded
+    deadline = time.time() + 10
+    loaded = 0
+    while loaded < len(ids) and time.time() < deadline:
+        loaded += container.consume_arrived()
+        time.sleep(0.01)
+    # LRU keeps at most 2.
+    assert len(container._cache) <= 2
+    view = container.get_or_request(ids[-1]) or container.get_or_request(ids[-2])
+    assert view is not None
+    # The prefix is a subsample, not the sorted head: positions of the first
+    # tenth must span most of the node's extent.
+    p, _ = view.prefix(10)
+    full_span = view.positions.max(axis=0) - view.positions.min(axis=0)
+    prefix_span = p.max(axis=0) - p.min(axis=0)
+    assert (prefix_span > 0.5 * full_span).all()
+    container.shutdown()
+
+
+def test_adaptive_budget():
+    class Dummy:
+        pass
+
+    octree = Dummy()
+    r = PointCloudRenderer.__new__(PointCloudRenderer)
+    r.max_nodes_moving = 100
+    r.node_views = Dummy()
+    r.node_views.max_nodes = 10_000
+    r.adapt_budget(10.0)
+    assert r.max_nodes_moving == 90
+    r.adapt_budget(30.0)
+    assert r.max_nodes_moving == 100
+
+
+def test_run_headless_renders(octree_dir, tmp_path):
+    shot = str(tmp_path / "frame.png")
+    stats = run_headless(octree_dir, num_frames=25, width=320, height=240,
+                         screenshot_path=shot)
+    assert stats.visible_nodes > 0
+    assert stats.points_drawn > 0
+    assert os.path.exists(shot)
+    from PIL import Image
+
+    img = np.asarray(Image.open(shot))
+    assert img.shape == (240, 320, 4)
+    # The cloud must actually be visible: many non-background pixels.
+    background = np.array([17, 17, 20, 255])
+    non_bg = (img != background).any(axis=2).sum()
+    assert non_bg > 1000
