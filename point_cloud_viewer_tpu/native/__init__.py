@@ -1,0 +1,177 @@
+"""ctypes bindings for the native C++ kernels (pcv_native.cpp).
+
+The library is compiled on first use with g++ (cached next to the source);
+every entry point has a numpy fallback, so the framework works even without
+a toolchain.  Use `available()` to check, `lib()` to get the handle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "pcv_native.cpp")
+_SO = os.path.join(_DIR, "libpcv_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "-pthread", "-o", _SO, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            handle = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        if handle.pcv_native_abi_version() != 1:
+            return None
+        _configure(handle)
+        _lib = handle
+        return _lib
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+def _configure(h: ctypes.CDLL) -> None:
+    from ctypes import POINTER, c_double, c_float, c_int64, c_uint8, c_uint16, c_uint32, c_uint64
+
+    h.encode_positions_u8.argtypes = [
+        POINTER(c_double), POINTER(c_double), POINTER(c_double), c_int64,
+        POINTER(c_uint8),
+    ]
+    h.encode_positions_u16.argtypes = [
+        POINTER(c_double), POINTER(c_double), POINTER(c_double), c_int64,
+        POINTER(c_uint16),
+    ]
+    h.decode_positions_u8.argtypes = [
+        POINTER(c_uint8), POINTER(c_double), POINTER(c_double), c_int64,
+        POINTER(c_double),
+    ]
+    h.decode_positions_u16.argtypes = [
+        POINTER(c_uint16), POINTER(c_double), POINTER(c_double), c_int64,
+        POINTER(c_double),
+    ]
+    h.morton_encode.argtypes = [POINTER(c_uint32), c_int64, POINTER(c_uint64)]
+    h.radix_argsort_u64.argtypes = [
+        POINTER(c_uint64), c_int64, POINTER(c_int64), POINTER(c_uint64),
+    ]
+    h.decode_to_f32_relative.argtypes = [
+        POINTER(c_uint16), c_int64,
+        c_double, c_double, c_double, c_double,
+        c_double, c_double, c_double,
+        POINTER(c_float),
+    ]
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def morton_encode(cells: np.ndarray) -> Optional[np.ndarray]:
+    """(N, 3) u32 -> (N,) u64 codes, or None if the library is unavailable."""
+    h = lib()
+    if h is None:
+        return None
+    cells = np.ascontiguousarray(cells, dtype=np.uint32)
+    out = np.empty(len(cells), dtype=np.uint64)
+    h.morton_encode(_ptr(cells, ctypes.c_uint32), len(cells), _ptr(out, ctypes.c_uint64))
+    return out
+
+
+def radix_argsort_u64(keys: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Stable argsort of u64 keys -> (sorted_keys, permutation), or None."""
+    h = lib()
+    if h is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    perm = np.empty(len(keys), dtype=np.int64)
+    out = np.empty(len(keys), dtype=np.uint64)
+    h.radix_argsort_u64(
+        _ptr(keys, ctypes.c_uint64), len(keys),
+        _ptr(perm, ctypes.c_int64), _ptr(out, ctypes.c_uint64),
+    )
+    return out, perm
+
+
+def encode_positions(positions, cube_min, edge, dtype) -> Optional[np.ndarray]:
+    """Interleaved fixpoint encode (u8/u16 only), or None."""
+    h = lib()
+    if h is None:
+        return None
+    n = len(positions)
+    positions = np.ascontiguousarray(positions, dtype=np.float64)
+    cube_min = np.ascontiguousarray(
+        np.broadcast_to(cube_min, (n, 3)), dtype=np.float64
+    )
+    edge = np.ascontiguousarray(np.broadcast_to(edge, (n,)), dtype=np.float64)
+    if dtype == np.uint8:
+        out = np.empty((n, 3), dtype=np.uint8)
+        h.encode_positions_u8(
+            _ptr(positions, ctypes.c_double), _ptr(cube_min, ctypes.c_double),
+            _ptr(edge, ctypes.c_double), n, _ptr(out, ctypes.c_uint8),
+        )
+        return out
+    if dtype == np.uint16:
+        out = np.empty((n, 3), dtype=np.uint16)
+        h.encode_positions_u16(
+            _ptr(positions, ctypes.c_double), _ptr(cube_min, ctypes.c_double),
+            _ptr(edge, ctypes.c_double), n, _ptr(out, ctypes.c_uint16),
+        )
+        return out
+    return None
+
+
+def decode_positions(encoded, cube_min, edge) -> Optional[np.ndarray]:
+    """Interleaved fixpoint decode (u8/u16 only), or None."""
+    h = lib()
+    if h is None:
+        return None
+    n = len(encoded)
+    cube_min = np.ascontiguousarray(
+        np.broadcast_to(cube_min, (n, 3)), dtype=np.float64
+    )
+    edge = np.ascontiguousarray(np.broadcast_to(edge, (n,)), dtype=np.float64)
+    out = np.empty((n, 3), dtype=np.float64)
+    if encoded.dtype == np.uint8:
+        encoded = np.ascontiguousarray(encoded)
+        h.decode_positions_u8(
+            _ptr(encoded, ctypes.c_uint8), _ptr(cube_min, ctypes.c_double),
+            _ptr(edge, ctypes.c_double), n, _ptr(out, ctypes.c_double),
+        )
+        return out
+    if encoded.dtype == np.uint16:
+        encoded = np.ascontiguousarray(encoded)
+        h.decode_positions_u16(
+            _ptr(encoded, ctypes.c_uint16), _ptr(cube_min, ctypes.c_double),
+            _ptr(edge, ctypes.c_double), n, _ptr(out, ctypes.c_double),
+        )
+        return out
+    return None
