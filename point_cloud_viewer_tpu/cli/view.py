@@ -1,0 +1,38 @@
+"""CLI: the headless viewer — orbit a built octree, stream nodes with
+adaptive LOD, and write a screenshot (the sdl_viewer analogue for
+display-less environments; reference: sdl_viewer/src/bin/sdl_viewer.rs)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("octree", help="Octree directory.")
+    parser.add_argument("--frames", type=int, default=60)
+    parser.add_argument("--width", type=int, default=1280)
+    parser.add_argument("--height", type=int, default=720)
+    parser.add_argument("--screenshot", default="viewer_frame.png")
+    parser.add_argument("--cache_size_mb", type=int, default=2000)
+    args = parser.parse_args(argv)
+
+    from ..viewer.render_loop import run_headless
+
+    stats = run_headless(
+        args.octree,
+        num_frames=args.frames,
+        width=args.width,
+        height=args.height,
+        screenshot_path=args.screenshot,
+    )
+    print(
+        f"Final frame: {stats.nodes_drawn}/{stats.visible_nodes} nodes, "
+        f"{stats.points_drawn} points -> {args.screenshot}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
