@@ -104,12 +104,16 @@ def build_octree(
     bounding_box: Optional[Aabb] = None,
     progress: bool = False,
     use_device: bool = False,
+    mesh=None,
 ) -> BuildResult:
     """Build a reference-format octree directory from points.
 
     `attributes`: which batch attributes to store (default: all present).
     `use_device`: run the Morton encode + sort (the O(N log N) stage) on the
     default JAX device (TPU) instead of host numpy; results are identical.
+    `mesh`: a jax.sharding.Mesh — run the sort stage SHARDED across the mesh
+    with an all-to-all Morton-prefix exchange (multi-chip build); on-disk
+    output is bit-identical to the single-chip path.
     """
     batch = _materialize(data)
     if attributes is not None:
@@ -136,7 +140,11 @@ def build_octree(
 
     # --- 1. Morton sort --------------------------------------------------
     cells = morton.quantize(batch.position, root_cube.min, root_cube.edge_length, depth_cap)
-    if use_device:
+    if mesh is not None:
+        from ..parallel.sharded_build import sharded_morton_sort
+
+        codes, order = sharded_morton_sort(cells, mesh, depth_cap)
+    elif use_device:
         from ..ops.sort import morton_sort_device
 
         codes, order = morton_sort_device(cells)

@@ -145,6 +145,149 @@ def _node_stats(result: ShardedSortResult, depth: int, level: int) -> jnp.ndarra
     return jnp.sum(new_run)
 
 
+class ShardedCellSortResult(NamedTuple):
+    """Exchange result carrying exact point indices (leading dim sharded)."""
+
+    code_hi: jnp.ndarray
+    code_lo: jnp.ndarray
+    index: jnp.ndarray  # (n * cap,) uint32 original point index
+    valid_count: jnp.ndarray  # (1,)
+    overflow: jnp.ndarray  # (1,)
+
+
+def make_sharded_cell_sort_step(
+    mesh: Mesh,
+    *,
+    depth: int = morton.MAX_DEPTH,
+    capacity_factor: float = 2.0,
+):
+    """Exact distributed Morton sort: takes host-quantized (N, 3) u32 cells
+    (sharded on dim 0) plus implicit global indices, returns per-shard
+    globally-sorted disjoint code ranges with the original point index
+    carried through the all-to-all — the communication core of the real
+    multi-chip builder (results are bit-identical to the host sort)."""
+    n_shards = mesh.devices.size
+
+    def step(cells, base_index):
+        p = cells.shape[0]
+        capacity = max(8, int(np.ceil(capacity_factor * p / n_shards)))
+        hi, lo = morton.morton_encode_device(cells, depth)
+        idx = (
+            jax.lax.broadcasted_iota(jnp.uint32, (p, 1), 0).squeeze(-1)
+            + base_index[0]
+        )
+        hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+
+        if n_shards == 1:
+            bucket = jnp.zeros(p, dtype=jnp.int32)
+        else:
+            hi_range = 1 << max(3 * depth - 32, 1)
+            slice_size = jnp.uint32(max(int(np.ceil(hi_range / n_shards)), 1))
+            bucket = jnp.minimum(hi // slice_size, jnp.uint32(n_shards - 1)).astype(
+                jnp.int32
+            )
+        counts = jnp.bincount(bucket, length=n_shards)
+        offsets = jnp.cumsum(counts) - counts
+        kept = jnp.minimum(counts, capacity)
+        overflow = jnp.sum(counts - kept)
+
+        slot_c = jax.lax.broadcasted_iota(jnp.int32, (n_shards, capacity), 1)
+        src = jnp.minimum(offsets[:, None] + slot_c, p - 1)
+        valid = slot_c < kept[:, None]
+
+        def take(x, fill):
+            v = x[src.reshape(-1)].reshape(n_shards, capacity)
+            return jnp.where(valid, v, fill)
+
+        send = [take(hi, _INVALID), take(lo, _INVALID), take(idx, _INVALID)]
+        recv = [
+            jax.lax.all_to_all(s, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True)
+            for s in send
+        ]
+        recv_counts = jax.lax.all_to_all(
+            kept[:, None], SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+        flat = n_shards * capacity
+        r_hi, r_lo, r_idx = jax.lax.sort(
+            tuple(r.reshape(flat) for r in recv), num_keys=2, is_stable=True
+        )
+        return ShardedCellSortResult(
+            code_hi=r_hi,
+            code_lo=r_lo,
+            index=r_idx,
+            valid_count=jnp.sum(recv_counts).reshape(1),
+            overflow=overflow.reshape(1),
+        )
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=ShardedCellSortResult(
+            code_hi=P(SHARD_AXIS),
+            code_lo=P(SHARD_AXIS),
+            index=P(SHARD_AXIS),
+            valid_count=P(SHARD_AXIS),
+            overflow=P(SHARD_AXIS),
+        ),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_morton_sort(
+    cells: np.ndarray,
+    mesh: Mesh,
+    depth: int,
+    capacity_factor: float = 2.0,
+    max_retries: int = 3,
+):
+    """Host wrapper: distributed Morton sort of (N, 3) u32 cells over the
+    mesh -> (codes_sorted u64 (N,), order int64 (N,)), bit-identical to the
+    host path.  Pads N to a multiple of the mesh size (pad cells carry the
+    max cell and are dropped afterwards); retries with doubled capacity if
+    any shard bucket overflows."""
+    n = len(cells)
+    n_shards = mesh.devices.size
+    padded = -(-n // n_shards) * n_shards
+    cells_padded = np.full((padded, 3), (1 << depth) - 1, dtype=np.uint32)
+    cells_padded[:n] = cells
+    base = np.arange(0, padded, padded // n_shards, dtype=np.uint32)
+    sharding = NamedSharding(mesh, P(SHARD_AXIS))
+
+    factor = capacity_factor
+    for _ in range(max_retries):
+        step = make_sharded_cell_sort_step(mesh, depth=depth, capacity_factor=factor)
+        result = step(
+            jax.device_put(cells_padded, sharding),
+            jax.device_put(base, sharding),
+        )
+        overflow = int(np.sum(np.asarray(result.overflow)))
+        if overflow == 0:
+            break
+        factor *= 2.0
+    else:
+        raise RuntimeError("sharded sort capacity overflow after retries")
+
+    hi = np.asarray(result.code_hi).reshape(n_shards, -1)
+    lo = np.asarray(result.code_lo).reshape(n_shards, -1)
+    idx = np.asarray(result.index).reshape(n_shards, -1)
+    counts = np.asarray(result.valid_count).reshape(n_shards)
+    parts_codes = []
+    parts_idx = []
+    for s in range(n_shards):
+        c = counts[s]
+        parts_codes.append(morton.join_u64(hi[s, :c], lo[s, :c]))
+        parts_idx.append(idx[s, :c].astype(np.int64))
+    codes = np.concatenate(parts_codes)
+    order = np.concatenate(parts_idx)
+    # Drop the padding points (they sorted to the very end).
+    if padded != n:
+        keep = order < n
+        codes = codes[keep]
+        order = order[keep]
+    return codes, order
+
+
 def make_sharded_build_step(
     mesh: Mesh,
     *,

@@ -1,0 +1,59 @@
+"""Multi-chip sharded build: the mesh path must produce BIT-IDENTICAL
+on-disk output to the single-chip host path."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+from point_cloud_viewer_tpu.octree.builder import build_octree
+from point_cloud_viewer_tpu.ops import morton
+from point_cloud_viewer_tpu.parallel.mesh import make_mesh
+from point_cloud_viewer_tpu.parallel.sharded_build import sharded_morton_sort
+
+
+def _cpu_mesh(n):
+    devices = jax.devices("cpu")
+    assert len(devices) >= n
+    return make_mesh(n, devices=devices)
+
+
+def test_sharded_sort_bit_identical():
+    rng = np.random.default_rng(0)
+    for n in [64, 1000, 8 * 1024 + 3]:
+        cells = rng.integers(0, 2**21, (n, 3)).astype(np.uint32)
+        # Duplicates to exercise stability.
+        cells[::7] = cells[0]
+        host_codes = morton.morton_encode(cells)
+        host_order = np.argsort(host_codes, kind="stable")
+        mesh = _cpu_mesh(8)
+        codes, order = sharded_morton_sort(cells, mesh, morton.MAX_DEPTH)
+        np.testing.assert_array_equal(codes, host_codes[host_order])
+        np.testing.assert_array_equal(order, host_order)
+
+
+def test_sharded_build_matches_host(tmp_path):
+    rng = np.random.default_rng(1)
+    n = 120_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 15.0,
+        attributes={
+            "color": rng.integers(0, 255, (n, 3), dtype=np.uint8),
+            "intensity": rng.random(n).astype(np.float32),
+        },
+    )
+    host_dir = str(tmp_path / "host")
+    mesh_dir = str(tmp_path / "mesh")
+    build_octree(host_dir, 0.001, batch)
+    build_octree(mesh_dir, 0.001, batch, mesh=_cpu_mesh(8))
+
+    host_files = sorted(os.listdir(host_dir))
+    mesh_files = sorted(os.listdir(mesh_dir))
+    assert host_files == mesh_files
+    for name in host_files:
+        a = open(os.path.join(host_dir, name), "rb").read()
+        b = open(os.path.join(mesh_dir, name), "rb").read()
+        assert a == b, f"file {name} differs"
