@@ -116,7 +116,53 @@ def time_cull(num_nodes: int, frames: int = 200) -> float:
     t0 = time.perf_counter()
     for _ in range(frames):
         run()
-    return (time.perf_counter() - t0) / frames * 1e3
+    single_ms = (time.perf_counter() - t0) / frames * 1e3
+
+    # Batched frames: one dispatch for F frames (amortizes the per-call
+    # round trip, which dominates on relayed backends).
+    from point_cloud_viewer_tpu.ops.culling import frustum_cull_lod_select_frames
+
+    f = 64
+    angles = np.linspace(0, 0.2, f)
+    mats, axs, qmins, qmaxs = [], [], [], []
+    a_max = 0
+    per_frame = []
+    for ang in angles:
+        e = Isometry.from_axis_angle([0, 1, 0], 0.4 + ang,
+                                     translation=[60.0, 45.0, 260.0])
+        fr = Frustum.new(e, Perspective.from_fov(1.5, 1.2, 0.5, 1000.0))
+        ax, qn, qx = frustum_axes_and_projections(fr)
+        per_frame.append((fr.clip_from_query.astype(np.float32), ax, qn, qx))
+        a_max = max(a_max, len(ax))
+    for m, ax, qn, qx in per_frame:
+        ax_p = np.zeros((a_max, 3), np.float32)
+        qn_p = np.full(a_max, -1.0, np.float32)
+        qx_p = np.full(a_max, 1.0, np.float32)
+        ax_p[: len(ax)] = ax
+        qn_p[: len(ax)] = qn
+        qx_p[: len(ax)] = qx
+        mats.append(m)
+        axs.append(ax_p)
+        qmins.append(qn_p)
+        qmaxs.append(qx_p)
+    batch_args = (
+        jnp.asarray(np.stack(mats)), jnp.asarray(np.stack(axs)),
+        jnp.asarray(np.stack(qmins)), jnp.asarray(np.stack(qmaxs)),
+        args[4], args[5], args[6],
+    )
+
+    def run_batch():
+        order, sizes, visible = frustum_cull_lod_select_frames(*batch_args)
+        return int(order[0, 0])
+
+    run_batch()
+    run_batch()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        run_batch()
+    batched_ms = (time.perf_counter() - t0) / (reps * f) * 1e3
+    return single_ms, batched_ms
 
 
 def main() -> None:
@@ -139,7 +185,7 @@ def main() -> None:
         host_s = time_build(batch, use_device=False, resolution=args.resolution)
         ratio = host_s / device_s
 
-    cull_ms = time_cull(num_nodes=4096)
+    cull_ms, cull_batched_ms = time_cull(num_nodes=4096)
 
     print(
         json.dumps(
@@ -149,6 +195,7 @@ def main() -> None:
                 "unit": "Mpoints/s",
                 "vs_baseline": round(ratio, 3),
                 "cull_lod_ms_per_frame_4096_nodes": round(cull_ms, 4),
+                "cull_lod_ms_per_frame_batched": round(cull_batched_ms, 4),
                 "host_build_s": None if host_s is None else round(host_s, 3),
                 "device_core_s": round(device_s, 4),
                 "n_points": args.n,

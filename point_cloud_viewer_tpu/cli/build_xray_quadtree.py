@@ -61,6 +61,17 @@ def main(argv=None) -> int:
         help="Build only the subtree under this node (for sharded builds).",
     )
     parser.add_argument("--num_threads", type=int, default=8)
+    parser.add_argument(
+        "--extension", default=None, metavar="pkg.mod:attr",
+        help="Plugin adding flags and/or a query_from_global transform "
+             "(the reference's Extension trait analogue).",
+    )
+    # Two-phase parse so the extension can add its own flags.
+    pre, _ = parser.parse_known_args(argv)
+    from ..utils.extension import apply_hook, load_extension
+
+    extension = load_extension(pre.extension)
+    apply_hook(extension, "add_arguments", parser)
     args = parser.parse_args(argv)
 
     if args.tile_size & (args.tile_size - 1):
@@ -75,6 +86,7 @@ def main(argv=None) -> int:
     params = XrayParameters(
         output_directory=args.output_directory,
         point_cloud_client=client,
+        query_from_global=apply_hook(extension, "query_from_global", args),
         filter_intervals={
             k: ClosedInterval.from_str(v) for k, v in args.filter_interval
         },

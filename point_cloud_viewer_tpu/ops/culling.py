@@ -61,7 +61,19 @@ def relative_sizes_on_screen_device(
     return (x.max(axis=1) - x.min(axis=1)) * (y.max(axis=1) - y.min(axis=1))
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _cull_core(matrix, axes, query_min_proj, query_max_proj, node_mins,
+               node_edges, num_points):
+    corners = node_corners(node_mins, node_edges)
+    relation = sat_relation_device(axes, query_min_proj, query_max_proj, corners)
+    sizes = relative_sizes_on_screen_device(matrix, corners)
+    visible = (relation != REL_OUT) & (num_points > 0)
+    # Invisible nodes get -inf priority -> sorted last.
+    priority = jnp.where(visible, sizes, -jnp.inf)
+    order = jnp.argsort(-priority)
+    return order.astype(jnp.int32), sizes, visible
+
+
+@jax.jit
 def frustum_cull_lod_select(
     matrix: jnp.ndarray,  # (4, 4) clip_from_query
     axes: jnp.ndarray,  # (A, 3) cached separating axes
@@ -75,14 +87,15 @@ def frustum_cull_lod_select(
     visible (K,) bool).  priority_order lists ALL node indices sorted by
     descending screen size with invisible nodes pushed to the end; callers
     take the first `visible.sum()` entries."""
-    corners = node_corners(node_mins, node_edges)
-    relation = sat_relation_device(axes, query_min_proj, query_max_proj, corners)
-    sizes = relative_sizes_on_screen_device(matrix, corners)
-    visible = (relation != REL_OUT) & (num_points > 0)
-    # Invisible nodes get -inf priority -> sorted last.
-    priority = jnp.where(visible, sizes, -jnp.inf)
-    order = jnp.argsort(-priority)
-    return order.astype(jnp.int32), sizes, visible
+    return _cull_core(matrix, axes, query_min_proj, query_max_proj,
+                      node_mins, node_edges, num_points)
+
+
+# Many frames in one dispatch (vmapped over matrix + per-frame axes); used
+# by the headless viewer benchmark to amortize dispatch latency.
+frustum_cull_lod_select_frames = jax.jit(
+    jax.vmap(_cull_core, in_axes=(0, 0, 0, 0, None, None, None))
+)
 
 
 def frustum_axes_and_projections(frustum) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

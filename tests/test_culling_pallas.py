@@ -1,0 +1,48 @@
+"""Pallas fused cull kernel vs the lax reference implementation
+(interpret mode; runs on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from point_cloud_viewer_tpu.math.geometry import Frustum, Isometry, Perspective
+from point_cloud_viewer_tpu.ops.culling import (
+    frustum_axes_and_projections,
+    frustum_cull_lod_select,
+)
+from point_cloud_viewer_tpu.ops.culling_pallas import (
+    frustum_cull_lod_select_pallas,
+)
+
+
+@pytest.mark.parametrize("k", [100, 1000, 2048])
+def test_pallas_matches_lax(k):
+    rng = np.random.default_rng(k)
+    levels = rng.integers(0, 12, k)
+    edges = (500.0 / np.exp2(levels)).astype(np.float32)
+    mins = (rng.random((k, 3)) * 500.0 - 250.0).astype(np.float32)
+    num_points = rng.integers(0, 100_000, k).astype(np.int32)
+    num_points[::13] = 0  # some empty nodes
+
+    # A narrow frustum so the visible set is a strict subset.
+    eye = Isometry.from_axis_angle([0, 1, 0], 0.3, translation=[0.0, 0.0, 300.0])
+    frustum = Frustum.new(eye, Perspective.from_fov(1.0, 0.4, 1.0, 400.0))
+    axes, qmin, qmax = frustum_axes_and_projections(frustum)
+    m = frustum.clip_from_query.astype(np.float32)
+
+    _, sizes, visible = frustum_cull_lod_select(
+        jnp.asarray(m), jnp.asarray(axes), jnp.asarray(qmin), jnp.asarray(qmax),
+        jnp.asarray(mins), jnp.asarray(edges), jnp.asarray(num_points),
+    )
+    pri_p, vis_p = frustum_cull_lod_select_pallas(
+        m, axes, qmin, qmax, mins, edges, num_points, interpret=True
+    )
+    vis_ref = np.asarray(visible)
+    assert 0 < vis_ref.sum() < k  # discriminative scene
+    np.testing.assert_array_equal(np.asarray(vis_p), vis_ref)
+    np.testing.assert_allclose(
+        np.asarray(pri_p)[vis_ref], np.asarray(sizes)[vis_ref], rtol=1e-5, atol=1e-6
+    )
+    assert np.all(np.asarray(pri_p)[~vis_ref] == -np.inf)
