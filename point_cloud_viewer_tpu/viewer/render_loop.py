@@ -187,6 +187,7 @@ class PointCloudRenderer:
         lod = self.point_size_lod if moving else 1
         stats = FrameStats(visible_nodes=len(visible), moving=moving)
         pos_parts, col_parts = [], []
+        drawn_ids = []
         for node_id in visible[:limit]:
             view = self.node_views.get_or_request(node_id)
             if view is None:
@@ -194,6 +195,7 @@ class PointCloudRenderer:
             p, c = view.prefix(lod)
             stats.nodes_drawn += 1
             stats.points_drawn += len(p)
+            drawn_ids.append(node_id)
             if render:
                 pos_parts.append(p)
                 col_parts.append(c)
@@ -210,6 +212,16 @@ class PointCloudRenderer:
             image = rasterize_points(
                 positions, colors, world_to_gl, self.width, self.height
             )
+            if self.show_octree_nodes and drawn_ids:
+                from .software_raster import draw_wireframe_boxes
+
+                metas = [self.octree.node_meta(n) for n in drawn_ids]
+                draw_wireframe_boxes(
+                    image,
+                    np.stack([m.cube_min for m in metas]),
+                    np.array([m.edge_length for m in metas]),
+                    world_to_gl,
+                )
         return stats, image
 
     def shutdown(self) -> None:

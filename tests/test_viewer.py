@@ -144,3 +144,44 @@ def test_run_headless_renders(octree_dir, tmp_path):
     background = np.array([17, 17, 20, 255])
     non_bg = (img != background).any(axis=2).sum()
     assert non_bg > 1000
+
+
+def test_wireframe_box_overlay():
+    from point_cloud_viewer_tpu.math.geometry import Frustum, Isometry, Perspective
+    from point_cloud_viewer_tpu.viewer.software_raster import draw_wireframe_boxes
+
+    f = Frustum.new(Isometry.identity(), Perspective.from_fov(1.0, 1.0, 0.1, 100.0))
+    img = np.zeros((128, 128, 4), dtype=np.uint8)
+    draw_wireframe_boxes(
+        img,
+        np.array([[-1.0, -1.0, -6.0]]),
+        np.array([2.0]),
+        f.clip_from_query,
+    )
+    yellow = (img[:, :, 0] == 255) & (img[:, :, 1] == 255) & (img[:, :, 2] == 0)
+    assert yellow.sum() > 50  # outline visible
+
+
+def test_render_with_node_boxes(octree_dir, tmp_path):
+    octree = Octree.from_directory(octree_dir)
+    renderer = PointCloudRenderer(octree, width=160, height=120)
+    try:
+        renderer.show_octree_nodes = True
+        from point_cloud_viewer_tpu.viewer.camera import Camera
+
+        cam = Camera(160, 120)
+        center = octree.bounding_box.center()
+        cam.position = center + np.array([0.0, 0.0, 30.0])
+        m = cam.world_to_gl()
+        renderer.camera_changed(m)
+        deadline = time.time() + 15
+        stats, image = renderer.draw(m, render=True)
+        while (
+            stats.visible_nodes == 0 or stats.nodes_drawn < stats.visible_nodes
+        ) and time.time() < deadline:
+            time.sleep(0.05)
+            stats, image = renderer.draw(m, render=True)
+        assert image is not None
+        assert stats.nodes_drawn > 0
+    finally:
+        renderer.shutdown()
