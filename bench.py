@@ -165,11 +165,91 @@ def time_cull(num_nodes: int, frames: int = 200) -> float:
     return single_ms, batched_ms
 
 
+def bench_queries(n: int = 1_000_000) -> dict:
+    """Streaming-query benchmarks over octree and S2 containers — the
+    reference's criterion suite (point_cloud_test/benches/main.rs:32-136):
+    all/box/frustum/obb/cell-union queries through PointCloudClient."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+    from point_cloud_viewer_tpu.math import s2 as s2m
+    from point_cloud_viewer_tpu.math.geometry import Aabb, Frustum, Isometry, Obb, Perspective
+    from point_cloud_viewer_tpu.math.wgs84 import local_frame_from_lat_lng
+    from point_cloud_viewer_tpu.octree.builder import build_octree
+    from point_cloud_viewer_tpu.query.client import PointCloudClient
+    from point_cloud_viewer_tpu.query.location import AllPoints
+    from point_cloud_viewer_tpu.query.point_query import PointQuery
+    from point_cloud_viewer_tpu.s2_cells.cell_union import CellUnion
+    from point_cloud_viewer_tpu.s2_cells.splitter import build_s2_cloud
+
+    rng = np.random.default_rng(0)
+    local = (rng.random((n, 3)) - 0.5) * np.array([500.0, 500.0, 40.0])
+    frame = local_frame_from_lat_lng(37.4, -122.1)
+    ecef = frame.inverse().transform_points(local)
+    batch = PointsBatch(
+        position=ecef,
+        attributes={"color": rng.integers(0, 255, (n, 3), dtype=np.uint8)},
+    )
+    base = tempfile.mkdtemp(prefix="bench_queries_")
+    results = {}
+    try:
+        oct_dir = f"{base}/octree"
+        s2_dir = f"{base}/s2"
+        t0 = time.perf_counter()
+        build_octree(oct_dir, 0.01, batch)
+        results["octree_build_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        build_s2_cloud(s2_dir, batch)
+        results["s2_build_s"] = round(time.perf_counter() - t0, 3)
+
+        center = ecef.mean(axis=0)
+        up = center / np.linalg.norm(center)
+        z = up
+        x = np.cross([0.0, 0.0, 1.0], z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        rot = np.stack([x, y, z], axis=1)
+        leaves = s2m.leaf_cell_ids_from_points(ecef[:500])
+        queries = {
+            "all": AllPoints(),
+            "box": Aabb(center - 100.0, center + 100.0),
+            "frustum": Frustum.new(
+                Isometry(rot, center + up * 300.0),
+                Perspective.from_fov(1.0, 1.0, 10.0, 500.0),
+            ),
+            "obb": Obb(
+                Isometry.from_axis_angle([0.2, 0.5, 0.8], 0.4, translation=center),
+                [120.0, 80.0, 30.0],
+            ),
+            "cell_union": CellUnion(np.unique(s2m.parent(leaves, 16))),
+        }
+        for kind, d in [("octree", oct_dir), ("s2", s2_dir)]:
+            client = PointCloudClient.from_locations([d], num_threads=2)
+            for name, location in queries.items():
+                total = [0]
+                t0 = time.perf_counter()
+                client.for_each_point_data(
+                    PointQuery(attributes=["color"], location=location),
+                    lambda b: total.__setitem__(0, total[0] + len(b)),
+                )
+                dt = time.perf_counter() - t0
+                results[f"{name}_query_{kind}_mpts_per_s"] = round(
+                    total[0] / dt / 1e6, 3
+                )
+        return results
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=8_000_000)
     parser.add_argument("--resolution", type=float, default=0.001)
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--queries", action="store_true",
+                        help="Also run the streaming-query benchmark suite.")
     args = parser.parse_args()
 
     batch = synth_points(args.n)
@@ -187,9 +267,12 @@ def main() -> None:
 
     cull_ms, cull_batched_ms = time_cull(num_nodes=4096)
 
+    extra = bench_queries() if args.queries else {}
+
     print(
         json.dumps(
             {
+                **extra,
                 "metric": "octree_build_mpoints_per_sec",
                 "value": round(mpts, 3),
                 "unit": "Mpoints/s",

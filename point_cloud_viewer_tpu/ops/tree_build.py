@@ -77,6 +77,31 @@ def _segmented_rank(active: jnp.ndarray, seg_starts: jnp.ndarray) -> jnp.ndarray
     return c - active.astype(jnp.int32) - base
 
 
+def _starts_all_levels(hi: jnp.ndarray, lo: jnp.ndarray, depth: int,
+                       max_level: int) -> jnp.ndarray:
+    """(N, L) bool: does the level-(l+1) prefix change at each point?
+    One vectorized xor + per-column shifts instead of L separate passes."""
+    n = hi.shape[0]
+    x_hi = hi ^ jnp.concatenate([hi[:1] ^ jnp.uint32(1), hi[:-1]])
+    x_lo = lo ^ jnp.concatenate([lo[:1] ^ jnp.uint32(1), lo[:-1]])
+    levels = jnp.arange(1, max_level + 1)
+    shifts = 3 * (depth - levels)  # (L,)
+    sh = shifts[None, :].astype(jnp.uint32)
+    hi_b = x_hi[:, None]
+    lo_b = x_lo[:, None]
+    # nonzero(code_xor >> shift):
+    #   shift >= 32 -> x_hi >> (shift-32) != 0
+    #   shift <  32 -> (x_hi != 0) | (x_lo >> shift != 0)
+    ge32 = shifts[None, :] >= 32
+    hi_shift = jnp.where(ge32, sh - jnp.uint32(32), jnp.uint32(0))
+    starts = jnp.where(
+        ge32,
+        (hi_b >> hi_shift) != 0,
+        (hi_b != 0) | ((lo_b >> sh) != 0),
+    )
+    return starts.at[0, :].set(True)
+
+
 @functools.partial(
     jax.jit, static_argnames=("depth", "max_split_level", "max_points_per_node")
 )
@@ -97,23 +122,28 @@ def build_tree_device(
     )
 
     # ---- leaf level: first level with count <= max_points_per_node -------
-    leaf = jnp.full(n, max_split_level, dtype=jnp.int32)
-    assigned = jnp.zeros(n, dtype=bool)
-    starts_by_level = []
-    for level in range(1, max_split_level + 1):
-        shift = 3 * (depth - level)
-        starts = _segment_starts(hi, lo, shift)
-        starts = starts.at[0].set(True)
-        starts_by_level.append(starts)
-        counts, _ = _counts_per_point(starts)
-        hit = ~assigned & (counts <= max_points_per_node)
-        leaf = jnp.where(hit, level, leaf)
-        assigned = assigned | hit
+    # All levels at once: two wide scans over (N, L) instead of ~4L narrow
+    # ones (scan-op overhead dominates on the N-length axis).
+    levels_n = max_split_level
+    starts_all = _starts_all_levels(hi, lo, depth, levels_n)  # (N, L)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, levels_n), 0)
+    seg_start = jax.lax.cummax(jnp.where(starts_all, iota_n, 0), axis=0)
+    nb = jnp.where(starts_all, iota_n, n)
+    nxt = jax.lax.cummin(nb[::-1], axis=0)[::-1]
+    seg_end = jnp.concatenate(
+        [nxt[1:], jnp.full((1, levels_n), n, dtype=nxt.dtype)], axis=0
+    )
+    counts = seg_end - seg_start  # (N, L)
+    small = counts <= max_points_per_node
+    has_leaf = jnp.any(small, axis=1)
+    leaf = jnp.where(
+        has_leaf, jnp.argmax(small, axis=1).astype(jnp.int32) + 1, levels_n
+    )
 
     # ---- LOD promotion ----------------------------------------------------
     cur = leaf
     for level in range(max_split_level, 0, -1):
-        starts = starts_by_level[level - 1]
+        starts = starts_all[:, level - 1]
         active = cur == level
         rank = _segmented_rank(active, starts)
         promote = active & (rank % 8 == 0)
