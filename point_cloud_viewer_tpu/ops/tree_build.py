@@ -141,13 +141,26 @@ def build_tree_device(
     )
 
     # ---- LOD promotion ----------------------------------------------------
+    # Levels with no resident points are skipped at runtime (lax.cond):
+    # trees typically occupy only a handful of levels, so most of the
+    # max_split_level iterations are no-ops.
     cur = leaf
     for level in range(max_split_level, 0, -1):
         starts = starts_all[:, level - 1]
         active = cur == level
-        rank = _segmented_rank(active, starts)
-        promote = active & (rank % 8 == 0)
-        cur = jnp.where(promote, level - 1, cur)
+
+        def _promote_level(args):
+            cur_, active_, starts_ = args
+            rank = _segmented_rank(active_, starts_)
+            promote = active_ & (rank % 8 == 0)
+            return jnp.where(promote, level - 1, cur_)
+
+        cur = jax.lax.cond(
+            jnp.any(active),
+            _promote_level,
+            lambda args: args[0],
+            (cur, active, starts),
+        )
 
     # ---- node-normalized coordinates --------------------------------------
     # node of a point spans 2^(depth - cur) cells per axis.
