@@ -245,7 +245,7 @@ def bench_queries(n: int = 1_000_000) -> dict:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--n", type=int, default=8_000_000)
+    parser.add_argument("--n", type=int, default=16_000_000)
     parser.add_argument("--resolution", type=float, default=0.001)
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--queries", action="store_true",

@@ -13,8 +13,7 @@ src/read_write/node_writer.rs:78-89).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable
 
 import numpy as np
 

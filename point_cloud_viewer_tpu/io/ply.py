@@ -19,8 +19,6 @@ reference rejects it, but it costs little and helps interop).
 
 from __future__ import annotations
 
-import io as _io
-import os
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Tuple
 

@@ -13,7 +13,7 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

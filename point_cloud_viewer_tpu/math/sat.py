@@ -15,7 +15,7 @@ chosen so that `max` over parts composes like the reference's enum).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 

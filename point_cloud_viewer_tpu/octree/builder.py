@@ -34,13 +34,12 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from ..core.attributes import AttributeDataType
 from ..core.constants import CURRENT_VERSION, MAX_POINTS_PER_NODE, META_FILENAME
 from ..core.points_batch import PointsBatch
 from ..io.node_io import write_node_files
 from ..math.geometry import Aabb, Cube
 from ..ops import morton
-from ..ops.codec import PositionEncoding, encode_positions, position_encoding_for
+from ..ops.codec import encode_positions, position_encoding_for
 from ..protos.meta import (
     BoundingBoxProto,
     MetaProto,

@@ -17,9 +17,8 @@ Node point data is decoded through io.node_io.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -27,12 +26,10 @@ from ..core.attributes import (
     AttributeDataType,
     OCTREE_STANDARD_ATTRIBUTES,
 )
-from ..core.constants import CURRENT_VERSION
 from ..core.points_batch import PointsBatch
 from ..io.node_io import DataProvider, OnDiskDataProvider, read_node_batch
 from ..math.geometry import Aabb, Cube
 from ..ops.codec import PositionEncoding
-from ..protos.meta import MetaProto
 from .node_id import NodeId, bounding_cubes, unpack_ids
 
 _CORNER_UNIT = np.array(

@@ -10,7 +10,6 @@ display priority.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -8,7 +8,6 @@ jax.lax.sort — XLA's native TPU sort — carrying the permutation index.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -13,10 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from dataclasses import dataclass
-from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
 from ..core.constants import NUM_POINTS_PER_BATCH
 from ..core.points_batch import PointsBatch

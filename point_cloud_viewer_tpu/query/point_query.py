@@ -4,9 +4,7 @@ interval filters (reference: src/iterator.rs:66-72)."""
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import Dict, List
 
 from ..core.points_batch import PointsBatch
 from ..math.intervals import ClosedInterval

@@ -16,7 +16,6 @@ from ..core.points_batch import PointsBatch
 from ..io.node_io import DataProvider, OnDiskDataProvider
 from ..math import s2
 from ..math.geometry import Aabb
-from ..protos.meta import MetaProto
 from .cell_union import CellUnion, cell_world_bounds
 
 

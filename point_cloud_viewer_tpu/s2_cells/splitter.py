@@ -27,7 +27,6 @@ from ..protos.meta import (
     S2CellProto,
     S2MetaProto,
 )
-from ..io.node_io import write_node_files
 from ..core.attributes import attribute_extension
 
 DEFAULT_S2_SPLIT_LEVEL = 20  # cells of roughly 10m x 10m

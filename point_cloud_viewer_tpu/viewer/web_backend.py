@@ -26,7 +26,7 @@ import os
 import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np

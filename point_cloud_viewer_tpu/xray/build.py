@@ -11,13 +11,13 @@ from __future__ import annotations
 import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Optional, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 from PIL import Image
 
 from ..core.points_batch import PointsBatch
-from ..math.geometry import Aabb, Isometry, Obb
+from ..math.geometry import Aabb, Isometry
 from ..math.intervals import ClosedInterval
 from ..protos.xray_meta import (
     CURRENT_XRAY_VERSION,

@@ -16,8 +16,7 @@ pass per tile, the same shape as a TPU scatter-add.  Semantics preserved:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 

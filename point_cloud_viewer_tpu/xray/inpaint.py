@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterable, Optional, Set
+from typing import Dict, Iterable, Optional
 
 import numpy as np
 from PIL import Image

@@ -12,7 +12,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-from typing import List, Optional, Set, Tuple
+from typing import List, Set, Tuple
 
 from .build import build_node, image_path
 from .meta import XrayMeta
