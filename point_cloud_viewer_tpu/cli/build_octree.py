@@ -40,6 +40,7 @@ def main(argv=None) -> int:
         args.resolution,
         args.input,
         attributes=args.attributes,
+        use_device=args.use_device,
     )
     print(
         f"Built octree with {result.num_points} points in "

@@ -139,25 +139,40 @@ def build_octree(
 
     # --- 1. Morton sort --------------------------------------------------
     cells = morton.quantize(batch.position, root_cube.min, root_cube.edge_length, depth_cap)
-    if mesh is not None:
-        from ..parallel.sharded_build import sharded_morton_sort
+    if use_device and mesh is None:
+        # The WHOLE tree derivation (sort + leaf assignment + LOD
+        # promotion) runs as one jitted program; the host only groups the
+        # result and does the exact f64 encode, so on-disk bytes stay
+        # identical to the host path.
+        import jax.numpy as jnp
 
-        codes, order = sharded_morton_sort(cells, mesh, depth_cap)
-    elif use_device:
-        from ..ops.sort import morton_sort_device
+        from ..ops.tree_build import build_tree_device
 
-        codes, order = morton_sort_device(cells)
+        dev = build_tree_device(jnp.asarray(cells), depth_cap, depth_cap)
+        codes = morton.join_u64(np.asarray(dev.code_hi), np.asarray(dev.code_lo))
+        order = np.asarray(dev.order).astype(np.int64)
+        sorted_batch = batch.take(order)
+        final_nodes = _group_device_levels(
+            codes, np.asarray(dev.final_level), np.asarray(dev.leaf_level), depth_cap
+        )
     else:
-        codes = morton.morton_encode(cells)
-        order = np.argsort(codes, kind="stable")
-        codes = codes[order]
-    sorted_batch = batch.take(order)
+        if mesh is not None:
+            from ..parallel.sharded_build import sharded_morton_sort
 
-    # --- 2. top-down split discovery -------------------------------------
-    levels = _discover_levels(codes, n, depth_cap, root_cube.edge_length, resolution)
+            codes, order = sharded_morton_sort(cells, mesh, depth_cap)
+        else:
+            codes = morton.morton_encode(cells)
+            order = np.argsort(codes, kind="stable")
+            codes = codes[order]
+        sorted_batch = batch.take(order)
 
-    # --- 3. bottom-up LOD subsampling ------------------------------------
-    final_nodes = _subsample_bottom_up(levels)
+        # --- 2. top-down split discovery ---------------------------------
+        levels = _discover_levels(
+            codes, n, depth_cap, root_cube.edge_length, resolution
+        )
+
+        # --- 3. bottom-up LOD subsampling --------------------------------
+        final_nodes = _subsample_bottom_up(levels)
 
     # --- 4. encode + write ------------------------------------------------
     nodes = _write_levels(
@@ -309,6 +324,44 @@ def _subsample_bottom_up(levels: Dict[int, _LevelNodes]) -> Dict[int, _LevelNode
     return final
 
 
+def _group_device_levels(
+    codes: np.ndarray,
+    final_levels: np.ndarray,
+    leaf_levels: np.ndarray,
+    depth_cap: int,
+) -> Dict[int, _LevelNodes]:
+    """Group the device core's per-point output into the per-level node
+    lists the writer consumes.  The node SET is every leaf node plus all
+    ancestors (nodes drained empty by promotion are still recorded with 0
+    points, matching the host path and the reference's finished_nodes)."""
+    # All nodes that exist: leaves + every ancestor.
+    node_paths: Dict[int, np.ndarray] = {}
+    carry = np.empty(0, dtype=np.uint64)
+    for level in range(depth_cap, 0, -1):
+        sel = leaf_levels == level
+        leaf_paths = np.unique(codes[sel] >> np.uint64(3 * (depth_cap - level)))
+        node_paths[level] = np.union1d(carry, leaf_paths)
+        carry = np.unique(node_paths[level] >> np.uint64(3))
+    node_paths[0] = np.zeros(1, dtype=np.uint64)
+
+    out: Dict[int, _LevelNodes] = {}
+    for level, paths in node_paths.items():
+        if len(paths) == 0:
+            continue
+        sel = np.nonzero(final_levels == level)[0]
+        prefixes = codes[sel] >> np.uint64(3 * (depth_cap - level))
+        # Count of points per node (0 for drained nodes).
+        counts = np.zeros(len(paths), dtype=np.int64)
+        occupied, occ_counts = np.unique(prefixes, return_counts=True)
+        pos = np.searchsorted(paths, occupied)
+        counts[pos] = occ_counts
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        out[level] = _LevelNodes(
+            paths=paths.astype(np.uint64), offsets=offsets, idx=sel.astype(np.int64)
+        )
+    return out
+
+
 def _segment_sum_bool(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     cs = np.concatenate([[0], np.cumsum(mask)])
     return cs[offsets[1:]] - cs[offsets[:-1]]
@@ -387,10 +440,15 @@ def build_octree_from_file(
     resolution: float,
     filename: str,
     attributes: Optional[Sequence[str]] = None,
+    use_device: bool = False,
+    mesh=None,
 ) -> BuildResult:
     """PLY file -> octree directory (reference: generation.rs:272-287)."""
     from ..io.ply import PlyReader
 
     reader = PlyReader(filename)
     batch = reader.read_all()
-    return build_octree(output_directory, resolution, batch, attributes=attributes)
+    return build_octree(
+        output_directory, resolution, batch, attributes=attributes,
+        use_device=use_device, mesh=mesh,
+    )

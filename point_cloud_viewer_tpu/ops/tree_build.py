@@ -38,6 +38,7 @@ class DeviceTreeResult(NamedTuple):
     code_lo: jnp.ndarray  # (N,) bits 0..31
     order: jnp.ndarray  # (N,) uint32 permutation: sorted -> original index
     final_level: jnp.ndarray  # (N,) int32 tree level each point ends up in
+    leaf_level: jnp.ndarray  # (N,) int32 pre-promotion leaf level
     t_norm: jnp.ndarray  # (N, 3) f32 node-normalized coordinates in [0,1)
 
 
@@ -171,5 +172,6 @@ def build_tree_device(
 
     t_norm = jnp.stack([norm(cx), norm(cy), norm(cz)], axis=-1)
     return DeviceTreeResult(
-        code_hi=hi, code_lo=lo, order=idx, final_level=cur, t_norm=t_norm
+        code_hi=hi, code_lo=lo, order=idx, final_level=cur, leaf_level=leaf,
+        t_norm=t_norm,
     )

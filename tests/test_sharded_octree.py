@@ -57,3 +57,45 @@ def test_sharded_build_matches_host(tmp_path):
         a = open(os.path.join(host_dir, name), "rb").read()
         b = open(os.path.join(mesh_dir, name), "rb").read()
         assert a == b, f"file {name} differs"
+
+
+def test_use_device_build_matches_host(tmp_path):
+    """The full-device derivation (sort + leaf + promotion on device) must
+    produce bit-identical on-disk output to the host path."""
+    rng = np.random.default_rng(7)
+    n = 150_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 12.0,
+        attributes={
+            "color": rng.integers(0, 255, (n, 3), dtype=np.uint8),
+            "intensity": rng.random(n).astype(np.float32),
+        },
+    )
+    host_dir = str(tmp_path / "host")
+    dev_dir = str(tmp_path / "dev")
+    build_octree(host_dir, 0.001, batch)
+    build_octree(dev_dir, 0.001, batch, use_device=True)
+    host_files = sorted(os.listdir(host_dir))
+    dev_files = sorted(os.listdir(dev_dir))
+    assert host_files == dev_files
+    for name in host_files:
+        a = open(os.path.join(host_dir, name), "rb").read()
+        b = open(os.path.join(dev_dir, name), "rb").read()
+        assert a == b, f"file {name} differs"
+
+
+def test_use_device_build_single_point(tmp_path):
+    batch = PointsBatch(
+        position=np.array([[1.0, 2.0, 3.0]]),
+        attributes={"color": np.array([[9, 8, 7]], dtype=np.uint8)},
+    )
+    host_dir = str(tmp_path / "h")
+    dev_dir = str(tmp_path / "d")
+    build_octree(host_dir, 0.01, batch)
+    build_octree(dev_dir, 0.01, batch, use_device=True)
+    assert sorted(os.listdir(host_dir)) == sorted(os.listdir(dev_dir))
+    for name in os.listdir(host_dir):
+        assert (
+            open(os.path.join(host_dir, name), "rb").read()
+            == open(os.path.join(dev_dir, name), "rb").read()
+        )
