@@ -29,19 +29,37 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--use_device",
         action="store_true",
-        help="Run the Morton sort on the default JAX device (TPU).",
+        help="Run the tree derivation on the default JAX device (TPU).",
     )
+    parser.add_argument(
+        "--streaming",
+        action="store_true",
+        help="Bounded-memory out-of-core build (for clouds larger than RAM).",
+    )
+    parser.add_argument("--bucket_levels", type=int, default=2)
     args = parser.parse_args(argv)
 
-    from ..octree.builder import build_octree_from_file
+    if args.streaming:
+        from ..io.ply import PlyReader
+        from ..octree.streaming import build_octree_streaming
 
-    result = build_octree_from_file(
-        args.output_directory,
-        args.resolution,
-        args.input,
-        attributes=args.attributes,
-        use_device=args.use_device,
-    )
+        result = build_octree_streaming(
+            args.output_directory,
+            args.resolution,
+            PlyReader(args.input),
+            attributes=args.attributes,
+            bucket_levels=args.bucket_levels,
+        )
+    else:
+        from ..octree.builder import build_octree_from_file
+
+        result = build_octree_from_file(
+            args.output_directory,
+            args.resolution,
+            args.input,
+            attributes=args.attributes,
+            use_device=args.use_device,
+        )
     print(
         f"Built octree with {result.num_points} points in "
         f"{len(result.nodes)} nodes (depth cap {result.depth_cap}) "

@@ -276,15 +276,21 @@ def _merge_levels(a: _LevelNodes, b: _LevelNodes) -> _LevelNodes:
     return _LevelNodes(paths=paths[order], offsets=offsets, idx=idx)
 
 
-def _subsample_bottom_up(levels: Dict[int, _LevelNodes]) -> Dict[int, _LevelNodes]:
+def _subsample_bottom_up(
+    levels: Dict[int, _LevelNodes], stop_level: int = 0
+) -> Dict[int, _LevelNodes]:
     """Promote every 8th point of each node to its parent, deepest level
-    first; returns the FINAL point lists per level (what gets written)."""
+    first; returns the FINAL point lists per level (what gets written).
+
+    With stop_level > 0, promotion stops there: levels > stop_level are
+    final and the accumulated (pre-promotion) lists AT stop_level are
+    returned under that key — the out-of-core builder's bucket residual."""
     if not levels:
         return {}
     final: Dict[int, _LevelNodes] = {}
     deepest = max(levels)
     current: Optional[_LevelNodes] = None  # all nodes at `level`
-    for level in range(deepest, 0, -1):
+    for level in range(deepest, stop_level, -1):
         node_set = levels.get(level)
         if current is not None and node_set is not None:
             node_set = _merge_levels(current, node_set)
@@ -320,7 +326,15 @@ def _subsample_bottom_up(levels: Dict[int, _LevelNodes]) -> Dict[int, _LevelNode
             idx=node_set.idx[promote],
         )
     if current is not None:
-        final[0] = current  # the root keeps everything it received
+        # stop_level == 0: the root keeps everything it received; otherwise
+        # the stop level's pre-promotion lists are handed back to the caller.
+        final[stop_level] = (
+            _merge_levels(current, levels[stop_level])
+            if stop_level in levels
+            else current
+        )
+    elif stop_level in levels:
+        final[stop_level] = levels[stop_level]
     return final
 
 

@@ -1,0 +1,373 @@
+"""Out-of-core octree building: clouds larger than RAM.
+
+The in-memory builder (builder.py) needs ~90 bytes/point of headroom; this
+module bounds memory by an external Morton bucket partition:
+
+1. PASS 1 streams the input once for the bounding box (the reference's
+   find_bounding_box pre-pass, src/octree/generation.rs:256-270).
+2. PASS 2 streams batches, Morton-encodes, and spills each point's data to
+   one of 8^B bucket files by its code's top 3B bits (a disk-level radix
+   step — the external analogue of the sharded all-to-all exchange in
+   parallel/sharded_build.py; buckets = level-B subtrees, so no tree work
+   ever crosses a bucket).
+3. Each bucket is loaded (bounded size), its subtree is derived with the
+   standard in-memory machinery rooted at the bucket's level-B node, and
+   everything BELOW level B is written; the bucket root's residual point
+   list (what survives promotion into it) is kept.
+4. The shallow top (levels < B) is finished in memory from the bucket
+   roots' residuals (at most ~N/8 points across all buckets, usually far
+   fewer).
+
+Output is bit-identical to the in-memory builder whenever bucket spills
+preserve batch order (they do: buckets are append-only in stream order,
+and within a bucket the standard stable sort applies).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..core.constants import CURRENT_VERSION, META_FILENAME
+from ..core.points_batch import PointsBatch
+from ..math.geometry import Aabb, Cube
+from ..ops import morton
+from .builder import (
+    BuildResult,
+    _LevelNodes,
+    _meta_proto,
+    _subsample_bottom_up,
+    _write_levels,
+    compute_depth_cap,
+)
+from .node_id import NodeId
+
+
+def _iter_batches(data) -> Iterator[PointsBatch]:
+    if isinstance(data, PointsBatch):
+        yield data
+    else:
+        yield from data
+
+
+class _BucketSpill:
+    """Append-only per-bucket spill files (one .bin per array column)."""
+
+    def __init__(self, directory: str, num_buckets: int) -> None:
+        self.directory = directory
+        self.num_buckets = num_buckets
+        self.counts = np.zeros(num_buckets, dtype=np.int64)
+        self._schemas: Optional[List[Tuple[str, np.dtype, int]]] = None
+
+    def _path(self, bucket: int, name: str) -> str:
+        return os.path.join(self.directory, f"b{bucket:04d}.{name}")
+
+    def append(self, bucket_ids: np.ndarray, batch: PointsBatch) -> None:
+        if self._schemas is None:
+            self._schemas = [("position", np.dtype("<f8"), 3)] + [
+                (k, np.dtype(v.dtype).newbyteorder("<"),
+                 v.shape[1] if v.ndim == 2 else 1)
+                for k, v in batch.attributes.items()
+            ]
+        order = np.argsort(bucket_ids, kind="stable")
+        sorted_ids = bucket_ids[order]
+        uniq, starts = np.unique(sorted_ids, return_index=True)
+        ends = np.append(starts[1:], len(sorted_ids))
+        arrays = {"position": batch.position, **batch.attributes}
+        for b, s, e in zip(uniq, starts, ends):
+            sel = order[s:e]
+            for name, dt, _ in self._schemas:
+                with open(self._path(int(b), name), "ab") as f:
+                    f.write(np.ascontiguousarray(arrays[name][sel]).astype(dt).tobytes())
+            self.counts[int(b)] += e - s
+
+    def load(self, bucket: int) -> Optional[PointsBatch]:
+        if self.counts[bucket] == 0:
+            return None
+        arrays = {}
+        for name, dt, dim in self._schemas:
+            raw = np.fromfile(self._path(bucket, name), dtype=dt)
+            arrays[name] = raw.reshape(-1, dim) if dim > 1 else raw
+        position = arrays.pop("position")
+        return PointsBatch(position=position, attributes=arrays)
+
+    def delete(self, bucket: int) -> None:
+        for name, _, _ in self._schemas or []:
+            try:
+                os.remove(self._path(bucket, name))
+            except FileNotFoundError:
+                pass
+
+
+def build_octree_streaming(
+    output_directory: str,
+    resolution: float,
+    data: Union[PointsBatch, Iterable[PointsBatch]],
+    bounding_box: Optional[Aabb] = None,
+    attributes: Optional[Sequence[str]] = None,
+    bucket_levels: int = 2,
+    spill_directory: Optional[str] = None,
+) -> BuildResult:
+    """Bounded-memory build: peak RAM ~ the largest bucket (~N/8^B for
+    spatially spread data) instead of the whole cloud.
+
+    `data` may be a PointsBatch or any iterator of batches (e.g. PlyReader);
+    for iterator input, `bounding_box` must be supplied OR the iterator must
+    be re-iterable (we stream it twice).
+    """
+    os.makedirs(output_directory, exist_ok=True)
+
+    if bounding_box is None:
+        if isinstance(data, PointsBatch):
+            bounding_box = Aabb.bounding_points(data.position)
+        else:
+            bounding_box = None
+            for b in _iter_batches(data):
+                bb = Aabb.bounding_points(b.position)
+                if bounding_box is None:
+                    bounding_box = bb
+                else:
+                    bounding_box.grow(bb.mins)
+                    bounding_box.grow(bb.maxs)
+            if bounding_box is None:
+                bounding_box = Aabb.zero()
+    root_cube = Cube.bounding(bounding_box)
+    depth_cap = compute_depth_cap(root_cube.edge_length, resolution)
+    b_levels = min(bucket_levels, depth_cap - 1)
+    num_buckets = 8**b_levels
+
+    spill_dir = spill_directory or tempfile.mkdtemp(prefix="octree_spill_")
+    os.makedirs(spill_dir, exist_ok=True)
+    spill = _BucketSpill(spill_dir, num_buckets)
+
+    # --- PASS 2: spill by top bucket bits ----------------------------------
+    total = 0
+    for batch in _iter_batches(data):
+        if attributes is not None:
+            batch = PointsBatch(
+                position=batch.position,
+                attributes={a: batch.attributes[a] for a in attributes},
+            )
+        cells = morton.quantize(
+            batch.position, root_cube.min, root_cube.edge_length, depth_cap
+        )
+        codes = morton.morton_encode(cells)
+        buckets = (codes >> np.uint64(3 * (depth_cap - b_levels))).astype(np.int64)
+        spill.append(buckets, batch)
+        total += len(batch)
+
+    if total == 0:
+        meta = _meta_proto(resolution, bounding_box, [])
+        with open(os.path.join(output_directory, META_FILENAME), "wb") as f:
+            f.write(meta.encode())
+        shutil.rmtree(spill_dir, ignore_errors=True)
+        return BuildResult(output_directory, root_cube, resolution, bounding_box, [], 0)
+
+    # --- top structure from aggregated bucket counts -----------------------
+    # A node above the bucket level may itself be a leaf; decide the split
+    # structure for levels 0..B from the (exact) per-bucket counts so the
+    # result matches the in-memory builder.
+    from ..core.constants import MAX_POINTS_PER_NODE
+
+    top_leaf_of_bucket = np.full(num_buckets, -1, dtype=np.int64)  # leaf level
+    split = {0: np.zeros(1, dtype=np.uint64)}  # root always splits
+    level_counts = {
+        lvl: np.add.reduceat(
+            spill.counts, np.arange(0, num_buckets, 8 ** (b_levels - lvl))
+        )
+        for lvl in range(b_levels + 1)
+    }
+    for lvl in range(1, b_levels + 1):
+        parent_split = split[lvl - 1]
+        children = (parent_split[:, None] << np.uint64(3)) | np.arange(8, dtype=np.uint64)
+        children = children.ravel()
+        counts = level_counts[lvl][children.astype(np.int64)]
+        nonempty = counts > 0
+        edge = root_cube.edge_length / (1 << lvl)
+        can_split = lvl < depth_cap and edge > resolution
+        is_leaf = nonempty & ((counts <= MAX_POINTS_PER_NODE) | (not can_split))
+        # Mark buckets under each leaf.
+        for path in children[is_leaf]:
+            span = 8 ** (b_levels - lvl)
+            start = int(path) * span
+            top_leaf_of_bucket[start : start + span] = lvl
+        split[lvl] = children[nonempty & ~is_leaf]
+
+    # --- per-bucket subtree builds -----------------------------------------
+    recorded: List[Tuple[NodeId, int]] = []
+    # (level, batch) pairs feeding the top pass: bucket residuals at level B
+    # and whole point sets of shallow leaves.
+    top_inputs: List[Tuple[int, PointsBatch]] = []
+    split_b = set(int(p) for p in split.get(b_levels, []))
+    for bucket in range(num_buckets):
+        if spill.counts[bucket] == 0:
+            continue
+        bucket_batch = spill.load(bucket)
+        spill.delete(bucket)
+        leaf_lvl = int(top_leaf_of_bucket[bucket])
+        if leaf_lvl >= 0:
+            # Belongs to a leaf above/at the bucket level: no subtree.
+            top_inputs.append((leaf_lvl, bucket_batch))
+            continue
+        if bucket in split_b:
+            residual, nodes = _build_bucket_subtree(
+                output_directory,
+                bucket_batch,
+                bucket_path=bucket,
+                bucket_level=b_levels,
+                root_cube=root_cube,
+                resolution=resolution,
+                depth_cap=depth_cap,
+            )
+            recorded.extend(nodes)
+            top_inputs.append((b_levels, residual))
+        else:
+            # The bucket node itself is a leaf at level B.
+            top_inputs.append((b_levels, bucket_batch))
+    shutil.rmtree(spill_dir, ignore_errors=True)
+
+    # --- shallow top: levels b_levels..0 ------------------------------------
+    top_nodes = _finish_top(
+        output_directory, top_inputs, root_cube, resolution, depth_cap
+    )
+    recorded.extend(top_nodes)
+
+    meta = _meta_proto(resolution, bounding_box, recorded)
+    with open(os.path.join(output_directory, META_FILENAME), "wb") as f:
+        f.write(meta.encode())
+    return BuildResult(
+        output_directory, root_cube, resolution, bounding_box, recorded, depth_cap
+    )
+
+
+def _build_bucket_subtree(
+    output_directory: str,
+    batch: PointsBatch,
+    bucket_path: int,
+    bucket_level: int,
+    root_cube: Cube,
+    resolution: float,
+    depth_cap: int,
+) -> Tuple[PointsBatch, List[Tuple[NodeId, int]]]:
+    """Build the subtree under one level-B node: writes all nodes at levels
+    > B, returns the bucket node's residual points (its post-promotion
+    content, NOT yet written — the top pass promotes out of it)."""
+    cells = morton.quantize(batch.position, root_cube.min, root_cube.edge_length, depth_cap)
+    codes = morton.morton_encode(cells)
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    sorted_batch = batch.take(order)
+
+    n = len(batch)
+    # Discover splits INSIDE the bucket: start from the bucket node itself.
+    levels = _discover_subtree_levels(
+        codes, n, depth_cap, root_cube.edge_length, resolution,
+        bucket_path, bucket_level,
+    )
+    # Promotion stops AT the bucket level: the bucket root's accumulated
+    # (pre-promotion) list is the residual the top pass continues from.
+    final_nodes = _subsample_bottom_up(levels, stop_level=bucket_level)
+    residual_idx = (
+        final_nodes.pop(bucket_level).idx
+        if bucket_level in final_nodes
+        else np.empty(0, dtype=np.int64)
+    )
+    nodes = _write_levels(
+        output_directory, final_nodes, sorted_batch, root_cube, resolution
+    )
+    return sorted_batch.take(residual_idx), nodes
+
+
+def _discover_subtree_levels(
+    codes, n, depth_cap, root_edge, resolution, bucket_path, bucket_level
+) -> Dict[int, _LevelNodes]:
+    """Like builder._discover_levels but rooted at the level-B bucket node
+    (which is treated as split unconditionally; its residual is handled by
+    the top pass)."""
+    from ..core.constants import MAX_POINTS_PER_NODE
+
+    leaf_acc: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    split_paths = np.array([bucket_path], dtype=np.uint64)
+    split_ends = np.full(1, n, dtype=np.int64)
+
+    for level in range(bucket_level + 1, depth_cap + 1):
+        k = len(split_paths)
+        shift = np.uint64(3 * (depth_cap - level))
+        child_paths = (split_paths[:, None] << np.uint64(3)) | np.arange(8, dtype=np.uint64)
+        bounds = child_paths << shift
+        starts = np.searchsorted(codes, bounds.ravel(), side="left").astype(np.int64)
+        ends = np.concatenate(
+            [starts.reshape(k, 8)[:, 1:], split_ends[:, None]], axis=1
+        ).ravel()
+        counts = ends - starts
+        nonempty = counts > 0
+        edge = root_edge / (1 << level)
+        can_split = level < depth_cap and edge > resolution
+        is_leaf = nonempty & (counts <= MAX_POINTS_PER_NODE) if can_split else nonempty
+        if is_leaf.any():
+            leaf_acc[level] = (
+                child_paths.ravel()[is_leaf],
+                np.stack([starts[is_leaf], ends[is_leaf]], axis=1),
+            )
+        splitting = nonempty & ~is_leaf
+        split_paths = child_paths.ravel()[splitting]
+        split_ends = ends[splitting]
+        if len(split_paths) == 0:
+            break
+
+    from .builder import _ranges_to_indices
+
+    out: Dict[int, _LevelNodes] = {}
+    for level, (paths, ranges) in leaf_acc.items():
+        counts = ranges[:, 1] - ranges[:, 0]
+        out[level] = _LevelNodes(
+            paths=paths,
+            offsets=np.concatenate([[0], np.cumsum(counts)]),
+            idx=_ranges_to_indices(ranges),
+        )
+    return out
+
+
+def _finish_top(
+    output_directory: str,
+    top_inputs: List[Tuple[int, PointsBatch]],
+    root_cube: Cube,
+    resolution: float,
+    depth_cap: int,
+) -> List[Tuple[NodeId, int]]:
+    """Finish the shallow levels: inputs are (node_level, points) pairs —
+    bucket residuals at the bucket level and whole shallow-leaf point sets.
+    Promotion then proceeds upward exactly like the in-memory builder."""
+    top_inputs = [(lvl, b) for lvl, b in top_inputs if len(b)]
+    if not top_inputs:
+        return []
+    top = PointsBatch.concatenate([b for _, b in top_inputs])
+    node_levels = np.concatenate(
+        [np.full(len(b), lvl, dtype=np.int64) for lvl, b in top_inputs]
+    )
+    cells = morton.quantize(top.position, root_cube.min, root_cube.edge_length, depth_cap)
+    codes = morton.morton_encode(cells)
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    node_levels = node_levels[order]
+    sorted_top = top.take(order)
+
+    level_nodes: Dict[int, _LevelNodes] = {}
+    for lvl in np.unique(node_levels):
+        lvl = int(lvl)
+        sel = np.nonzero(node_levels == lvl)[0]
+        prefixes = codes[sel] >> np.uint64(3 * (depth_cap - lvl))
+        paths, counts = np.unique(prefixes, return_counts=True)
+        level_nodes[lvl] = _LevelNodes(
+            paths=paths.astype(np.uint64),
+            offsets=np.concatenate([[0], np.cumsum(counts)]),
+            idx=sel.astype(np.int64),
+        )
+    final_nodes = _subsample_bottom_up(level_nodes)
+    return _write_levels(
+        output_directory, final_nodes, sorted_top, root_cube, resolution
+    )

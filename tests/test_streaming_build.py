@@ -1,0 +1,102 @@
+"""Out-of-core streaming builder: bit-identical output to the in-memory
+builder across tree shapes (deep splits, shallow leaves, tiny clouds)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+from point_cloud_viewer_tpu.octree.builder import build_octree
+from point_cloud_viewer_tpu.octree.streaming import build_octree_streaming
+
+
+def _assert_same_output(a: str, b: str):
+    fa, fb = sorted(os.listdir(a)), sorted(os.listdir(b))
+    assert fa == fb
+    for name in fa:
+        ba = open(os.path.join(a, name), "rb").read()
+        bb = open(os.path.join(b, name), "rb").read()
+        assert ba == bb, f"{name} differs"
+
+
+def _compare(tmp_path, batch, resolution, bucket_levels=2, batches=None):
+    mem_dir = str(tmp_path / "mem")
+    stream_dir = str(tmp_path / "stream")
+    build_octree(mem_dir, resolution, batch)
+    build_octree_streaming(
+        stream_dir,
+        resolution,
+        batches if batches is not None else batch,
+        bounding_box=None if batches is None else _bbox(batch),
+        bucket_levels=bucket_levels,
+        spill_directory=str(tmp_path / "spill"),
+    )
+    _assert_same_output(mem_dir, stream_dir)
+
+
+def _bbox(batch):
+    from point_cloud_viewer_tpu.math.geometry import Aabb
+
+    return Aabb.bounding_points(batch.position)
+
+
+def test_streaming_matches_memory_uniform(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 300_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 50.0,
+        attributes={
+            "color": rng.integers(0, 255, (n, 3), dtype=np.uint8),
+            "intensity": rng.random(n).astype(np.float32),
+        },
+    )
+    _compare(tmp_path, batch, 0.001)
+
+
+def test_streaming_matches_memory_clustered(tmp_path):
+    """Clusters produce shallow leaves in some octants and deep splits in
+    others — exercises the top-structure decisions."""
+    rng = np.random.default_rng(1)
+    parts = [
+        rng.normal([5, 5, 5], 0.05, (150_000, 3)),  # dense tiny cluster
+        rng.random((3_000, 3)) * 100.0,  # sparse wide
+        rng.normal([80, 80, 10], 0.5, (60_000, 3)),
+    ]
+    position = np.concatenate(parts)
+    batch = PointsBatch(
+        position=position,
+        attributes={"color": rng.integers(0, 255, (len(position), 3), dtype=np.uint8)},
+    )
+    _compare(tmp_path, batch, 0.001, bucket_levels=2)
+
+
+def test_streaming_matches_memory_batched_input(tmp_path):
+    """Iterator input (multiple batches) with an explicit bounding box."""
+    rng = np.random.default_rng(2)
+    n = 120_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 10.0,
+        attributes={"color": rng.integers(0, 255, (n, 3), dtype=np.uint8)},
+    )
+    batches = [batch.slice(s, min(n, s + 25_000)) for s in range(0, n, 25_000)]
+    _compare(tmp_path, batch, 0.01, batches=batches)
+
+
+def test_streaming_small_and_single(tmp_path):
+    batch = PointsBatch(
+        position=np.array([[1.0, 2.0, 3.0], [1.1, 2.1, 3.1]]),
+        attributes={"color": np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)},
+    )
+    _compare(tmp_path, batch, 0.01)
+
+
+def test_streaming_bucket_levels_variants(tmp_path):
+    rng = np.random.default_rng(3)
+    n = 150_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 30.0,
+        attributes={"color": rng.integers(0, 255, (n, 3), dtype=np.uint8)},
+    )
+    for b in (1, 3):
+        _compare(tmp_path / f"b{b}", batch, 0.001, bucket_levels=b)
