@@ -114,6 +114,14 @@ def build_octree(
     with an all-to-all Morton-prefix exchange (multi-chip build); on-disk
     output is bit-identical to the single-chip path.
     """
+    import contextlib
+
+    from ..utils.progress import timed
+
+    phase = (lambda label: timed(f"build_octree: {label}")) if progress else (
+        lambda label: contextlib.nullcontext()
+    )
+
     batch = _materialize(data)
     if attributes is not None:
         missing = [a for a in attributes if a not in batch.attributes]
@@ -138,7 +146,10 @@ def build_octree(
     depth_cap = compute_depth_cap(root_cube.edge_length, resolution)
 
     # --- 1. Morton sort --------------------------------------------------
-    cells = morton.quantize(batch.position, root_cube.min, root_cube.edge_length, depth_cap)
+    with phase("quantize"):
+        cells = morton.quantize(
+            batch.position, root_cube.min, root_cube.edge_length, depth_cap
+        )
     if use_device and mesh is None:
         # The WHOLE tree derivation (sort + leaf assignment + LOD
         # promotion) runs as one jitted program; the host only groups the
@@ -161,23 +172,27 @@ def build_octree(
 
             codes, order = sharded_morton_sort(cells, mesh, depth_cap)
         else:
-            codes = morton.morton_encode(cells)
-            order = np.argsort(codes, kind="stable")
-            codes = codes[order]
-        sorted_batch = batch.take(order)
+            with phase("morton+sort"):
+                codes = morton.morton_encode(cells)
+                order = np.argsort(codes, kind="stable")
+                codes = codes[order]
+        with phase("reorder"):
+            sorted_batch = batch.take(order)
 
         # --- 2. top-down split discovery ---------------------------------
-        levels = _discover_levels(
-            codes, n, depth_cap, root_cube.edge_length, resolution
-        )
+        with phase("discover+subsample"):
+            levels = _discover_levels(
+                codes, n, depth_cap, root_cube.edge_length, resolution
+            )
 
-        # --- 3. bottom-up LOD subsampling --------------------------------
-        final_nodes = _subsample_bottom_up(levels)
+            # --- 3. bottom-up LOD subsampling ----------------------------
+            final_nodes = _subsample_bottom_up(levels)
 
     # --- 4. encode + write ------------------------------------------------
-    nodes = _write_levels(
-        output_directory, final_nodes, sorted_batch, root_cube, resolution
-    )
+    with phase("encode+write"):
+        nodes = _write_levels(
+            output_directory, final_nodes, sorted_batch, root_cube, resolution
+        )
 
     meta = _meta_proto(resolution, bounding_box, nodes)
     with open(os.path.join(output_directory, META_FILENAME), "wb") as f:

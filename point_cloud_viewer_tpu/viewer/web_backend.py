@@ -90,6 +90,7 @@ def build_nodes_data_blob(octree: Octree, node_names) -> bytes:
 
 class _Handler(BaseHTTPRequestHandler):
     state: AppState  # set by make_server
+    verbose: bool = False
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -128,10 +129,27 @@ class _Handler(BaseHTTPRequestHandler):
         parts = [p for p in url.path.split("/") if p]
         try:
             if len(parts) == 2 and parts[0] == "nodes_data":
+                import time
+
+                start = time.perf_counter()
                 length = int(self.headers.get("Content-Length", "0"))
                 names = json.loads(self.rfile.read(length))
                 octree = self.state.load_octree(parts[1])
                 blob = build_nodes_data_blob(octree, names)
+                if self.verbose:
+                    # Per-request stats (reference: backend.rs:164-168).
+                    import sys
+
+                    num_points = sum(
+                        octree.node_meta(NodeId.from_str(n)).num_points
+                        for n in names
+                    )
+                    ms = (time.perf_counter() - start) * 1e3
+                    print(
+                        f"Got {len(names)} nodes with {num_points} points "
+                        f"({ms:.0f}ms).",
+                        file=sys.stderr,
+                    )
                 self._send(200, "application/octet-stream", blob)
             else:
                 self._error(404, "not found")
@@ -153,8 +171,9 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, "application/json", body)
 
 
-def make_server(state: AppState, ip: str = "127.0.0.1", port: int = 5433):
-    handler = type("BoundHandler", (_Handler,), {"state": state})
+def make_server(state: AppState, ip: str = "127.0.0.1", port: int = 5433,
+                verbose: bool = False):
+    handler = type("BoundHandler", (_Handler,), {"state": state, "verbose": verbose})
     return ThreadingHTTPServer((ip, port), handler)
 
 

@@ -152,8 +152,17 @@ def build_xray_quadtree(
             created.add(node_id)
 
     # Tiles are independent; the point decode/splat is numpy (GIL-free).
+    from ..utils.progress import ProgressBar
+
+    bar = ProgressBar(len(leaf_ids), f"Building level {deepest_level}")
+
+    def build_leaf_with_progress(node_id: QuadNodeId) -> None:
+        build_leaf(node_id)
+        bar.inc()
+
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
-        list(pool.map(build_leaf, leaf_ids))
+        list(pool.map(build_leaf_with_progress, leaf_ids))
+    bar.finish()
 
     assign_background_color(
         parameters.output_directory, parameters.tile_background_color, created
