@@ -1,0 +1,144 @@
+"""Exact-value unit tests for the X-ray coloring strategies against the
+reference formulas (xray/src/generation.rs:159-405) and colormaps
+(xray/src/colormap.rs)."""
+
+import numpy as np
+import pytest
+
+from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+from point_cloud_viewer_tpu.math.geometry import Aabb
+from point_cloud_viewer_tpu.xray.colormap import jet, monochrome
+from point_cloud_viewer_tpu.xray.generation import (
+    NUM_Z_BUCKETS,
+    HeightStddevStrategy,
+    IntensityStrategy,
+    PointColorStrategy,
+    XRayStrategy,
+    discretize,
+)
+
+BBOX = Aabb([0, 0, 0], [8.0, 8.0, 8.0])
+SIZE = 8  # 1m per pixel
+
+
+def _batch(positions, **attrs):
+    return PointsBatch(position=np.asarray(positions, dtype=np.float64),
+                       attributes=attrs)
+
+
+def test_discretize_y_flip_and_truncation():
+    pts = np.array(
+        [
+            [0.5, 7.5, 0.0],   # top-left pixel (y flipped): px=(0,?) py=0
+            [7.5, 0.5, 0.0],   # bottom-right
+            [0.0, 8.0, 0.0],   # y == max -> y_img truncates to 0
+        ]
+    )
+    pix, z, idx = discretize(pts, BBOX, SIZE)
+    # keys = y*SIZE + x
+    assert pix[0] == 0 * SIZE + 0
+    assert pix[1] == 7 * SIZE + 7
+    assert len(idx) == 3
+
+
+def test_xray_density_formula():
+    # 1 occupied z bucket -> saturation ln(1)/ln(1024) = 0 -> value 255;
+    # 32 buckets -> saturation 0.5 -> value 127 (truncation).
+    s = XRayStrategy()
+    zs = (np.arange(32) + 0.5) * (8.0 / NUM_Z_BUCKETS)
+    pts = [[0.5, 7.9, zs[i]] for i in range(32)] + [[1.5, 7.9, 0.1]]
+    s.process(_batch(pts), BBOX, SIZE)
+    img = s.render(SIZE)
+    assert tuple(img[0, 0]) == (127, 127, 127, 255)  # 32 buckets
+    assert tuple(img[0, 1]) == (255, 255, 255, 255)  # 1 bucket
+    assert img[5, 5, 3] == 0  # untouched -> transparent
+
+
+def test_point_color_mean():
+    pts = [[0.5, 7.9, 1.0], [0.5, 7.9, 2.0]]
+    color = np.array([[100, 0, 0], [200, 0, 0]], dtype=np.uint8)
+    s = PointColorStrategy()
+    s.process(_batch(pts, color=color), BBOX, SIZE)
+    img = s.render(SIZE)
+    # mean(100, 200)/255*255 = 150 (one bin; truncation)
+    assert abs(int(img[0, 0, 0]) - 150) <= 1
+    assert img[0, 0, 3] == 255
+
+
+def test_point_color_binned_mean():
+    # Two bins: bin means (100, 200) -> mean over bins 150 regardless of
+    # how many points sit in each bin.
+    pts = [[0.5, 7.9, 1.0]] * 3 + [[0.5, 7.9, 2.0]]
+    color = np.array([[100, 0, 0]] * 3 + [[200, 0, 0]], dtype=np.uint8)
+    ts = np.array([0.0, 1.0, 2.0, 10.0])  # bin size 10 -> bins {0, 1}
+    s = PointColorStrategy(binning=("ts", 10.0))
+    s.process(_batch(pts, color=color, ts=ts), BBOX, SIZE)
+    img = s.render(SIZE)
+    assert abs(int(img[0, 0, 0]) - 150) <= 1
+
+
+def test_intensity_brighten_formula():
+    s = IntensityStrategy(1.0, 101.0)
+    pts = [[0.5, 7.9, 1.0]]
+    s.process(_batch(pts, intensity=np.array([51.0], dtype=np.float32)), BBOX, SIZE)
+    img = s.render(SIZE)
+    expected = int(np.log(51.0 - 1.0) / np.log(101.0 - 1.0) * 255)
+    assert abs(int(img[0, 0, 0]) - expected) <= 1
+
+
+def test_intensity_negative_dropped():
+    s = IntensityStrategy(1.0, 100.0)
+    pts = [[0.5, 7.9, 1.0], [1.5, 7.9, 1.0]]
+    s.process(
+        _batch(pts, intensity=np.array([-5.0, 50.0], dtype=np.float32)), BBOX, SIZE
+    )
+    img = s.render(SIZE)
+    assert img[0, 0, 3] == 0  # negative-intensity point contributed nothing
+    assert img[0, 1, 3] == 255
+
+
+def test_height_stddev_formula():
+    s = HeightStddevStrategy(max_stddev=2.0)
+    zs = [1.0, 3.0]  # population stddev = 1.0 -> saturation 0.5
+    pts = [[0.5, 7.9, z] for z in zs]
+    s.process(_batch(pts), BBOX, SIZE)
+    img = s.render(SIZE)
+    expected = monochrome(np.array([0.5], dtype=np.float32))[0]
+    np.testing.assert_array_equal(img[0, 0], expected)
+
+
+def test_jet_colormap_matches_scalar_formula():
+    """Vectorized jet == the reference's scalar base/interpolate recurrence
+    (colormap.rs:18-59)."""
+
+    def base(val):
+        if val <= -0.75:
+            return 0.0
+        if val <= -0.25:
+            return (val - -0.75) * (1.0 - 0.0) / (-0.25 - -0.75)
+        if val <= 0.25:
+            return 1.0
+        if val <= 0.75:
+            return 1.0 + (val - 0.25) * (0.0 - 1.0) / (0.75 - 0.25)
+        return 0.0
+
+    vals = np.linspace(0.0, 1.0, 101).astype(np.float32)
+    got = jet(vals)
+    for v, rgba in zip(vals, got):
+        expected = [
+            int(base(v - 0.5) * 255),
+            int(base(v) * 255),
+            int(base(v + 0.5) * 255),
+            255,
+        ]
+        assert abs(int(rgba[0]) - expected[0]) <= 1
+        assert abs(int(rgba[1]) - expected[1]) <= 1
+        assert abs(int(rgba[2]) - expected[2]) <= 1
+        assert rgba[3] == 255
+
+
+def test_monochrome_purplish_endpoints():
+    lo = monochrome(np.array([0.0], dtype=np.float32))[0]
+    hi = monochrome(np.array([1.0], dtype=np.float32))[0]
+    np.testing.assert_array_equal(lo, [int(0.8 * 255), int(0.8 * 255), 255, 255])
+    np.testing.assert_array_equal(hi, [0, 0, 0, 255])
