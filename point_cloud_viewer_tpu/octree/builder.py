@@ -396,6 +396,9 @@ def _segment_sum_bool(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return cs[offsets[1:]] - cs[offsets[:-1]]
 
 
+_ENCODE_CHUNK_POINTS = 8_000_000  # bounds encode scratch to ~300 MB
+
+
 def _write_levels(
     directory: str,
     final_nodes: Dict[int, _LevelNodes],
@@ -403,9 +406,11 @@ def _write_levels(
     root_cube: Cube,
     resolution: float,
 ) -> List[Tuple[NodeId, int]]:
-    """Encode per level (one encoding per level) and write node files."""
+    """Encode per level (one encoding per level) and write node files.
+    Encoding is chunked over groups of whole nodes so peak scratch memory
+    stays bounded regardless of cloud size."""
     recorded: List[Tuple[NodeId, int]] = []
-    jobs = []
+    pool = ThreadPoolExecutor(max_workers=min(32, max(4, os.cpu_count() or 4)))
     for level in sorted(final_nodes):
         nodes = final_nodes[level]
         k = len(nodes.paths)
@@ -413,31 +418,50 @@ def _write_levels(
         mins, edges = bounding_cubes(levels_arr, nodes.paths, root_cube)
         edge = root_cube.edge_length / (1 << level)
         encoding = position_encoding_for(edge, resolution)
-
-        # Per-point node geometry -> one vectorized encode for the level.
         counts = nodes.counts
-        pt_min = np.repeat(mins, counts, axis=0)
-        pt_edge = np.repeat(edges, counts)
-        positions = sorted_batch.position[nodes.idx]
-        encoded = encode_positions(positions, pt_min, pt_edge, encoding)
 
-        attrs = {
-            name: arr[nodes.idx] for name, arr in sorted_batch.attributes.items()
-        }
-        for i in range(k):
-            node_id = NodeId.from_level_index(level, int(nodes.paths[i]))
-            lo, hi_ = int(nodes.offsets[i]), int(nodes.offsets[i + 1])
-            recorded.append((node_id, hi_ - lo))
-            jobs.append(
-                (
-                    os.path.join(directory, str(node_id)),
-                    encoded[lo:hi_],
-                    {name: a[lo:hi_] for name, a in attrs.items()},
-                )
+        # Chunk over whole nodes.
+        node_start = 0
+        while node_start < k:
+            node_end = node_start
+            span = 0
+            while node_end < k and (
+                span == 0 or span + counts[node_end] <= _ENCODE_CHUNK_POINTS
+            ):
+                span += int(counts[node_end])
+                node_end += 1
+            lo = int(nodes.offsets[node_start])
+            hi = int(nodes.offsets[node_end])
+            idx = nodes.idx[lo:hi]
+            chunk_counts = counts[node_start:node_end]
+            pt_min = np.repeat(mins[node_start:node_end], chunk_counts, axis=0)
+            pt_edge = np.repeat(edges[node_start:node_end], chunk_counts)
+            encoded = encode_positions(
+                sorted_batch.position[idx], pt_min, pt_edge, encoding
             )
-
-    with ThreadPoolExecutor(max_workers=min(32, max(4, os.cpu_count() or 4))) as pool:
-        list(pool.map(lambda j: write_node_files(*j), jobs))
+            del pt_min, pt_edge
+            attrs = {
+                name: arr[idx] for name, arr in sorted_batch.attributes.items()
+            }
+            chunk_futures = []
+            for i in range(node_start, node_end):
+                node_id = NodeId.from_level_index(level, int(nodes.paths[i]))
+                a, b = int(nodes.offsets[i]) - lo, int(nodes.offsets[i + 1]) - lo
+                recorded.append((node_id, b - a))
+                chunk_futures.append(
+                    pool.submit(
+                        write_node_files,
+                        os.path.join(directory, str(node_id)),
+                        encoded[a:b],
+                        {name: arr[a:b] for name, arr in attrs.items()},
+                    )
+                )
+            # Finish this chunk's writes before encoding the next, so at
+            # most one chunk's buffers are alive at a time.
+            for f in chunk_futures:
+                f.result()
+            node_start = node_end
+    pool.shutdown()
     return recorded
 
 
