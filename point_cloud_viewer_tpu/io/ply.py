@@ -19,6 +19,7 @@ reference rejects it, but it costs little and helps interop).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -175,6 +176,101 @@ class PlyReader:
 
     def read_all(self) -> PointsBatch:
         return PointsBatch.concatenate(list(self))
+
+
+class PlyStreamWriter:
+    """Incremental PLY writer: batches are appended as they stream and the
+    vertex count (a fixed-width placeholder) is patched on close — the
+    reference's PlyNodeWriter pattern (src/read_write/ply.rs:559-732).
+
+    The attribute schema is fixed by the first batch.  Supports appending
+    to an existing PLY written by this class (vertex counts add up).
+    """
+
+    _COUNT_WIDTH = 20
+
+    def __init__(self, path: str, append: bool = False) -> None:
+        self.path = path
+        self.count = 0
+        self._fields = None
+        self._count_pos = None
+        if append and os.path.exists(path) and os.path.getsize(path) > 0:
+            self._open_existing()
+        else:
+            self._file = open(path, "wb")
+
+    def _open_existing(self) -> None:
+        with open(self.path, "rb") as f:
+            header = parse_header(f)
+        self._file = open(self.path, "r+b")
+        self._file.seek(0, 2)  # append at end
+        self.count = header.num_vertices
+        # Locate the fixed-width count in the header for patching.
+        head = open(self.path, "rb").read(header.header_len).decode("ascii")
+        marker = "element vertex "
+        i = head.index(marker) + len(marker)
+        self._count_pos = i
+        # Schema comes from the header.
+        self._fields = None  # validated lazily on first write
+
+    def write(self, batch: PointsBatch) -> None:
+        if self._fields is None and self.count == 0 and self._count_pos is None:
+            self._write_header(batch)
+        rec = np.rec.fromarrays(
+            [batch.position[:, 0].astype("<f8"),
+             batch.position[:, 1].astype("<f8"),
+             batch.position[:, 2].astype("<f8")]
+            + [
+                col
+                for name, arr in batch.attributes.items()
+                for col in (
+                    [arr[:, i] for i in range(arr.shape[1])]
+                    if arr.ndim == 2
+                    else [arr]
+                )
+            ],
+        )
+        self._file.write(rec.tobytes())
+        self.count += len(batch)
+
+    def _write_header(self, batch: PointsBatch) -> None:
+        inv = {
+            "u1": "uchar", "u2": "ushort", "u4": "uint", "u8": "ulonglong",
+            "i1": "char", "i2": "short", "i4": "int", "i8": "longlong",
+            "f4": "float", "f8": "double",
+        }
+        lines = ["ply", "format binary_little_endian 1.0"]
+        count_line = "element vertex "
+        lines.append(count_line + "0".zfill(self._COUNT_WIDTH))
+        props = ["property double x", "property double y", "property double z"]
+        for name, arr in batch.attributes.items():
+            d = inv[np.dtype(arr.dtype).str.lstrip("<>=|")]
+            if arr.ndim == 2:
+                channels = (
+                    ["red", "green", "blue", "alpha"][: arr.shape[1]]
+                    if name == "color"
+                    else [f"{name}{i}" for i in range(arr.shape[1])]
+                )
+                props += [f"property {d} {c}" for c in channels]
+            else:
+                props.append(f"property {d} {name}")
+        header = "\n".join(lines + props + ["end_header"]) + "\n"
+        prefix = "\n".join(lines[:2]) + "\n" + count_line
+        self._count_pos = len(prefix)
+        self._file.write(header.encode("ascii"))
+        self._fields = True
+
+    def close(self) -> None:
+        if self._count_pos is not None:
+            self._file.seek(self._count_pos)
+            self._file.write(str(self.count).zfill(self._COUNT_WIDTH).encode("ascii"))
+        self._file.close()
+
+    def __enter__(self) -> "PlyStreamWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def write_ply(path: str, batch: PointsBatch, offset: Optional[np.ndarray] = None) -> None:

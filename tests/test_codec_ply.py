@@ -123,3 +123,54 @@ def test_ply_offset_comment(tmp_path):
     assert b"comment offset: 100.0 200.0 300.0" in header
     back = PlyReader(path).read_all()
     np.testing.assert_allclose(back.position, batch.position)
+
+
+def test_ply_stream_writer_patches_count(tmp_path):
+    from point_cloud_viewer_tpu.io.ply import PlyStreamWriter
+
+    rng = np.random.default_rng(9)
+    path = str(tmp_path / "stream.ply")
+    with PlyStreamWriter(path) as w:
+        for _ in range(3):
+            w.write(
+                PointsBatch(
+                    position=rng.random((100, 3)),
+                    attributes={"color": rng.integers(0, 255, (100, 3), dtype=np.uint8)},
+                )
+            )
+    back = PlyReader(path).read_all()
+    assert len(back) == 300
+    assert set(back.attributes) == {"color"}
+
+
+def test_ply_stream_writer_append(tmp_path):
+    from point_cloud_viewer_tpu.io.ply import PlyStreamWriter
+
+    rng = np.random.default_rng(10)
+    path = str(tmp_path / "append.ply")
+    b1 = PointsBatch(position=rng.random((50, 3)))
+    b2 = PointsBatch(position=rng.random((70, 3)))
+    with PlyStreamWriter(path) as w:
+        w.write(b1)
+    with PlyStreamWriter(path, append=True) as w:
+        w.write(b2)
+    back = PlyReader(path).read_all()
+    assert len(back) == 120
+    np.testing.assert_allclose(back.position[:50], b1.position)
+    np.testing.assert_allclose(back.position[50:], b2.position)
+
+
+def test_export_ply_cli(tmp_path, capsys):
+    from point_cloud_viewer_tpu.cli import build_octree as cli_build
+    from point_cloud_viewer_tpu.cli import export_ply as cli_export
+
+    out = str(tmp_path / "oct")
+    cli_build.main(
+        ["/root/reference/src/test_data/xyz_f32_rgb_u8_le.ply",
+         "--output_directory", out]
+    )
+    ply_out = str(tmp_path / "exported.ply")
+    assert cli_export.main([out, "--output", ply_out]) == 0
+    assert "Wrote 8 points" in capsys.readouterr().out
+    back = PlyReader(ply_out).read_all()
+    assert len(back) == 8
