@@ -66,11 +66,16 @@ def time_device_core(batch, resolution: float, repeats: int = 3) -> float:
         morton.quantize(batch.position, root.min, root.edge_length, depth)
     )
 
+    # One jitted program per rep whose scalar output forces full execution
+    # (block_until_ready is unreliable on relayed backends; a separate sum
+    # dispatch would add round trips).
+    @jax.jit
+    def core(c):
+        out = build_tree_device(c, depth, depth)
+        return jnp.sum(out.final_level) + jnp.sum(out.order[:1])
+
     def run():
-        out = build_tree_device(cells, depth, depth)
-        # Force full execution: fetch a scalar that depends on the result
-        # (block_until_ready is unreliable on relayed backends).
-        return int(jnp.sum(out.final_level))
+        return int(core(cells))
 
     run()  # compile + warm
     run()

@@ -39,12 +39,19 @@ _CLIENT_HTML = os.path.join(os.path.dirname(__file__), "client.html")
 
 class AppState:
     def __init__(
-        self, prefix: str, suffix: str = "", init_octree_id: str = ""
+        self,
+        prefix: str,
+        suffix: str = "",
+        init_octree_id: str = "",
+        cache_items: int = 20,
     ) -> None:
+        from collections import OrderedDict
+
         self.prefix = prefix
         self.suffix = suffix
         self.init_octree_id = init_octree_id
-        self._cache: Dict[str, Octree] = {}
+        self.cache_items = cache_items
+        self._cache: "OrderedDict[str, Octree]" = OrderedDict()
         self._lock = threading.Lock()
 
     def octree_address(self, octree_id: str) -> str:
@@ -53,10 +60,14 @@ class AppState:
     def load_octree(self, octree_id: str) -> Octree:
         with self._lock:
             if octree_id in self._cache:
+                self._cache.move_to_end(octree_id)
                 return self._cache[octree_id]
         octree = Octree.from_directory(self.octree_address(octree_id))
         with self._lock:
             self._cache[octree_id] = octree
+            self._cache.move_to_end(octree_id)
+            while len(self._cache) > self.cache_items:
+                self._cache.popitem(last=False)
         return octree
 
 
