@@ -145,7 +145,9 @@ def build_tree_device(
     # ---- LOD promotion ----------------------------------------------------
     # Levels with no resident points are skipped at runtime (lax.cond):
     # trees typically occupy only a handful of levels, so most of the
-    # max_split_level iterations are no-ops.
+    # max_split_level iterations are no-ops.  (A gather-based rank reusing
+    # seg_start was measured 2.8x SLOWER than cumsum+cummax on TPU — large
+    # gathers lose to scans here.)
     cur = leaf
     for level in range(max_split_level, 0, -1):
         starts = starts_all[:, level - 1]
