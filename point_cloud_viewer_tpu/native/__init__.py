@@ -49,7 +49,7 @@ def lib() -> Optional[ctypes.CDLL]:
             handle = ctypes.CDLL(_SO)
         except OSError:
             return None
-        if handle.pcv_native_abi_version() != 1:
+        if handle.pcv_native_abi_version() != 2:
             return None
         _configure(handle)
         _lib = handle
@@ -89,6 +89,28 @@ def _configure(h: ctypes.CDLL) -> None:
         c_double, c_double, c_double,
         POINTER(c_float),
     ]
+    h.tree_levels.argtypes = [
+        POINTER(c_uint64), c_int64, ctypes.c_int, ctypes.c_int, c_int64,
+        POINTER(c_uint8), POINTER(c_uint8),
+    ]
+    h.group_by_level.argtypes = [
+        POINTER(c_uint8), c_int64, ctypes.c_int, POINTER(c_int64),
+        POINTER(c_int64),
+    ]
+    h.quantize_morton.argtypes = [
+        POINTER(c_double), POINTER(c_double), c_double, ctypes.c_int, c_int64,
+        POINTER(c_uint64), ctypes.c_void_p,
+    ]
+    for name, out_t in (
+        ("gather_encode_u8", c_uint8),
+        ("gather_encode_u16", c_uint16),
+        ("gather_encode_f32", c_float),
+        ("gather_encode_f64", c_double),
+    ):
+        getattr(h, name).argtypes = [
+            POINTER(c_double), POINTER(c_int64), POINTER(c_double),
+            POINTER(c_double), POINTER(c_int64), c_int64, POINTER(out_t),
+        ]
 
 
 def _ptr(arr: np.ndarray, ctype):
@@ -147,6 +169,106 @@ def encode_positions(positions, cube_min, edge, dtype) -> Optional[np.ndarray]:
         )
         return out
     return None
+
+
+def quantize_morton(
+    positions: np.ndarray, root_min, edge: float, depth: int,
+    want_cells: bool = False,
+) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    """Fused (N,3) f64 -> u64 Morton codes (+ optional u32 cells), or None."""
+    h = lib()
+    if h is None:
+        return None
+    positions = np.ascontiguousarray(positions, dtype=np.float64)
+    n = len(positions)
+    root_min = np.ascontiguousarray(root_min, dtype=np.float64)
+    codes = np.empty(n, dtype=np.uint64)
+    cells = np.empty((n, 3), dtype=np.uint32) if want_cells else None
+    h.quantize_morton(
+        _ptr(positions, ctypes.c_double), _ptr(root_min, ctypes.c_double),
+        ctypes.c_double(edge), ctypes.c_int(depth), n,
+        _ptr(codes, ctypes.c_uint64),
+        cells.ctypes.data_as(ctypes.c_void_p) if want_cells else None,
+    )
+    return codes, cells
+
+
+def tree_levels(
+    codes: np.ndarray, depth: int, max_split_level: int, max_points: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Per-point (leaf_level, final_level) over SORTED Morton codes — host
+    mirror of ops/tree_build.build_tree_device; None if unavailable."""
+    h = lib()
+    if h is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    n = len(codes)
+    leaf = np.empty(n, dtype=np.uint8)
+    final = np.empty(n, dtype=np.uint8)
+    h.tree_levels(
+        _ptr(codes, ctypes.c_uint64), n, ctypes.c_int(depth),
+        ctypes.c_int(max_split_level), max_points,
+        _ptr(leaf, ctypes.c_uint8), _ptr(final, ctypes.c_uint8),
+    )
+    return leaf, final
+
+
+def group_by_level(
+    levels: np.ndarray, num_levels: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Stable counting sort of indices by u8 level -> (idx, starts)."""
+    h = lib()
+    if h is None:
+        return None
+    levels = np.ascontiguousarray(levels, dtype=np.uint8)
+    n = len(levels)
+    idx = np.empty(n, dtype=np.int64)
+    starts = np.empty(num_levels + 1, dtype=np.int64)
+    h.group_by_level(
+        _ptr(levels, ctypes.c_uint8), n, ctypes.c_int(num_levels),
+        _ptr(idx, ctypes.c_int64), _ptr(starts, ctypes.c_int64),
+    )
+    return idx, starts
+
+
+_GATHER_ENCODE = {
+    np.dtype(np.uint8): ("gather_encode_u8", ctypes.c_uint8),
+    np.dtype(np.uint16): ("gather_encode_u16", ctypes.c_uint16),
+    np.dtype(np.float32): ("gather_encode_f32", ctypes.c_float),
+    np.dtype(np.float64): ("gather_encode_f64", ctypes.c_double),
+}
+
+
+def gather_encode(
+    positions: np.ndarray, idx: np.ndarray, node_min: np.ndarray,
+    node_edge: np.ndarray, offsets: np.ndarray, dtype,
+) -> Optional[np.ndarray]:
+    """Fused gather + per-node fixpoint/normalized encode.
+
+    positions: (N,3) f64 in original order; idx: (M,) i64 point indices;
+    node_min: (K,3) f64; node_edge: (K,) f64; offsets: (K+1,) i64 into idx.
+    Returns (M,3) encoded, or None if the library is unavailable.
+    """
+    h = lib()
+    if h is None:
+        return None
+    entry = _GATHER_ENCODE.get(np.dtype(dtype))
+    if entry is None:
+        return None
+    name, ctype = entry
+    positions = np.ascontiguousarray(positions, dtype=np.float64)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    node_min = np.ascontiguousarray(node_min, dtype=np.float64)
+    node_edge = np.ascontiguousarray(node_edge, dtype=np.float64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    k = len(node_edge)
+    out = np.empty((len(idx), 3), dtype=dtype)
+    getattr(h, name)(
+        _ptr(positions, ctypes.c_double), _ptr(idx, ctypes.c_int64),
+        _ptr(node_min, ctypes.c_double), _ptr(node_edge, ctypes.c_double),
+        _ptr(offsets, ctypes.c_int64), k, _ptr(out, ctype),
+    )
+    return out
 
 
 def decode_positions(encoded, cube_min, edge) -> Optional[np.ndarray]:

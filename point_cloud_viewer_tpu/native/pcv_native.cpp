@@ -202,6 +202,211 @@ void decode_to_f32_relative(const uint16_t* enc, int64_t n, double min_x,
                 (float)((double)enc[3 * i + d] / 65535.0 * edge + mins[d]);
 }
 
-int pcv_native_abi_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Fused quantize + Morton encode: (N, 3) f64 world positions -> u64 codes
+// (and optionally the u32 grid cells) in ONE pass over the input.
+// Bit-identical to ops/morton.quantize + morton_encode:
+//   t = (p - min) / edge;  c = floor(t * 2^depth);  clip to [0, 2^depth - 1].
+
+void quantize_morton(const double* pos, const double* root_min, double edge,
+                     int depth, int64_t n, uint64_t* codes_out,
+                     uint32_t* cells_out /* nullable */) {
+    const double scale = (double)(1ULL << depth);
+    const double cmax = scale - 1.0;
+    const double m0 = root_min[0], m1 = root_min[1], m2 = root_min[2];
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t c[3];
+        const double p0 = pos[3 * i], p1 = pos[3 * i + 1], p2 = pos[3 * i + 2];
+        double t0 = std::floor((p0 - m0) / edge * scale);
+        double t1 = std::floor((p1 - m1) / edge * scale);
+        double t2 = std::floor((p2 - m2) / edge * scale);
+        // clip handles NaN like np.clip (NaN -> propagates; cast of NaN is 0
+        // in numpy's astype on x86 via cvttsd2si -> here force 0 explicitly).
+        t0 = t0 < 0.0 ? 0.0 : (t0 > cmax ? cmax : t0);
+        t1 = t1 < 0.0 ? 0.0 : (t1 > cmax ? cmax : t1);
+        t2 = t2 < 0.0 ? 0.0 : (t2 > cmax ? cmax : t2);
+        c[0] = (t0 == t0) ? (uint32_t)t0 : 0u;
+        c[1] = (t1 == t1) ? (uint32_t)t1 : 0u;
+        c[2] = (t2 == t2) ? (uint32_t)t2 : 0u;
+        codes_out[i] =
+            (spread3(c[0]) << 2) | (spread3(c[1]) << 1) | spread3(c[2]);
+        if (cells_out) {
+            cells_out[3 * i] = c[0];
+            cells_out[3 * i + 1] = c[1];
+            cells_out[3 * i + 2] = c[2];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Fused gather + per-node fixpoint encode: for each node k, the points
+// idx[offsets[k] .. offsets[k+1]) of `pos` are encoded against the node's
+// (min, edge).  Removes both the big position gather and the np.repeat'd
+// per-point min/edge arrays from the builder's hot path.
+
+}  // extern "C" — template helper needs C++ linkage
+
+template <typename OutT>
+static inline void gather_encode_impl(const double* pos, const int64_t* idx,
+                                      const double* node_min,
+                                      const double* node_edge,
+                                      const int64_t* offsets, int64_t k,
+                                      double tmax, OutT* out) {
+    for (int64_t nd = 0; nd < k; ++nd) {
+        const double e = node_edge[nd];
+        const double m0 = node_min[3 * nd], m1 = node_min[3 * nd + 1],
+                     m2 = node_min[3 * nd + 2];
+        for (int64_t i = offsets[nd]; i < offsets[nd + 1]; ++i) {
+            const int64_t j = idx[i];
+            const double* p = pos + 3 * j;
+            double t0 = e > 0.0 ? (p[0] - m0) / e : 0.0;
+            double t1 = e > 0.0 ? (p[1] - m1) / e : 0.0;
+            double t2 = e > 0.0 ? (p[2] - m2) / e : 0.0;
+            out[3 * i] = (OutT)(clamp01(t0) * tmax);
+            out[3 * i + 1] = (OutT)(clamp01(t1) * tmax);
+            out[3 * i + 2] = (OutT)(clamp01(t2) * tmax);
+        }
+    }
+}
+
+extern "C" {
+
+void gather_encode_u8(const double* pos, const int64_t* idx,
+                      const double* node_min, const double* node_edge,
+                      const int64_t* offsets, int64_t k, uint8_t* out) {
+    gather_encode_impl(pos, idx, node_min, node_edge, offsets, k, 255.0, out);
+}
+
+void gather_encode_u16(const double* pos, const int64_t* idx,
+                       const double* node_min, const double* node_edge,
+                       const int64_t* offsets, int64_t k, uint16_t* out) {
+    gather_encode_impl(pos, idx, node_min, node_edge, offsets, k, 65535.0, out);
+}
+
+// Same fused gather, normalized float output (f32/f64 encodings).
+void gather_encode_f32(const double* pos, const int64_t* idx,
+                       const double* node_min, const double* node_edge,
+                       const int64_t* offsets, int64_t k, float* out) {
+    for (int64_t nd = 0; nd < k; ++nd) {
+        const double e = node_edge[nd];
+        const double m0 = node_min[3 * nd], m1 = node_min[3 * nd + 1],
+                     m2 = node_min[3 * nd + 2];
+        for (int64_t i = offsets[nd]; i < offsets[nd + 1]; ++i) {
+            const double* p = pos + 3 * idx[i];
+            out[3 * i] = (float)clamp01(e > 0.0 ? (p[0] - m0) / e : 0.0);
+            out[3 * i + 1] = (float)clamp01(e > 0.0 ? (p[1] - m1) / e : 0.0);
+            out[3 * i + 2] = (float)clamp01(e > 0.0 ? (p[2] - m2) / e : 0.0);
+        }
+    }
+}
+
+void gather_encode_f64(const double* pos, const int64_t* idx,
+                       const double* node_min, const double* node_edge,
+                       const int64_t* offsets, int64_t k, double* out) {
+    for (int64_t nd = 0; nd < k; ++nd) {
+        const double e = node_edge[nd];
+        const double m0 = node_min[3 * nd], m1 = node_min[3 * nd + 1],
+                     m2 = node_min[3 * nd + 2];
+        for (int64_t i = offsets[nd]; i < offsets[nd + 1]; ++i) {
+            const double* p = pos + 3 * idx[i];
+            out[3 * i] = clamp01(e > 0.0 ? (p[0] - m0) / e : 0.0);
+            out[3 * i + 1] = clamp01(e > 0.0 ? (p[1] - m1) / e : 0.0);
+            out[3 * i + 2] = clamp01(e > 0.0 ? (p[2] - m2) / e : 0.0);
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Per-point tree level assignment over SORTED Morton codes — the host
+// mirror of ops/tree_build.build_tree_device (same leaf rule + LOD
+// promotion, so grouping/encoding downstream is shared):
+//   leaf[i]  = first level whose code-prefix segment holds <= max_points
+//              points (root never a leaf; capped at max_split_level)
+//   final[i] = leaf[i] after bottom-up promotion: per level, every 8th
+//              point (rank % 8 == 0) resident in a node moves to its parent
+//              (reference rule, src/octree/generation.rs:224-229).
+
+void tree_levels(const uint64_t* codes, int64_t n, int depth,
+                 int max_split_level, int64_t max_points, uint8_t* leaf_out,
+                 uint8_t* final_out) {
+    if (n == 0) return;
+    // blevel[i]: shallowest level whose prefix differs between codes[i-1]
+    // and codes[i]; segment of point i at level l starts at the nearest
+    // j <= i with blevel[j] <= l.  blevel[0] = 0.
+    std::vector<uint8_t> blevel(n);
+    blevel[0] = 0;
+    for (int64_t i = 1; i < n; ++i) {
+        const uint64_t x = codes[i - 1] ^ codes[i];
+        if (x == 0) {
+            blevel[i] = (uint8_t)(max_split_level + 1);
+        } else {
+            const int hb = 63 - __builtin_clzll(x);
+            const int l = depth - hb / 3;
+            blevel[i] = (uint8_t)(l < 0 ? 0 : l);
+        }
+    }
+
+    // Leaf assignment: DFS over splitting segments (root always splits).
+    struct Seg { int64_t s, e; int l; };
+    std::vector<Seg> stack;
+    stack.push_back({0, n, 0});
+    std::vector<int64_t> level_count(max_split_level + 2, 0);
+    while (!stack.empty()) {
+        const Seg seg = stack.back();
+        stack.pop_back();
+        const int child_level = seg.l + 1;
+        int64_t a = seg.s;
+        for (int64_t i = seg.s + 1; i <= seg.e; ++i) {
+            if (i < seg.e && blevel[i] > child_level) continue;
+            const int64_t b = i;  // child segment [a, b)
+            const int64_t cnt = b - a;
+            if (cnt > max_points && child_level < max_split_level) {
+                stack.push_back({a, b, child_level});
+            } else {
+                std::memset(leaf_out + a, child_level, (size_t)cnt);
+                level_count[child_level] += cnt;
+            }
+            a = b;
+        }
+    }
+
+    // LOD promotion, deepest level first.
+    std::memcpy(final_out, leaf_out, (size_t)n);
+    for (int l = max_split_level; l >= 1; --l) {
+        if (level_count[l] == 0) continue;
+        int64_t rank = 0;
+        int64_t promoted = 0;
+        for (int64_t i = 0; i < n; ++i) {
+            if (blevel[i] <= l) rank = 0;
+            if (final_out[i] == (uint8_t)l) {
+                if (rank % 8 == 0) {
+                    final_out[i] = (uint8_t)(l - 1);
+                    ++promoted;
+                }
+                ++rank;
+            }
+        }
+        level_count[l] -= promoted;
+        level_count[l - 1] += promoted;
+    }
+}
+
+// Stable counting sort of point indices by tree level (u8, values <= L):
+// idx_out[starts[l] .. starts[l+1]) = indices with lv == l, ascending.
+void group_by_level(const uint8_t* lv, int64_t n, int num_levels,
+                    int64_t* idx_out, int64_t* starts /* num_levels + 1 */) {
+    std::vector<int64_t> count(num_levels, 0);
+    for (int64_t i = 0; i < n; ++i) count[lv[i]]++;
+    int64_t acc = 0;
+    for (int l = 0; l < num_levels; ++l) {
+        starts[l] = acc;
+        acc += count[l];
+        count[l] = starts[l];
+    }
+    starts[num_levels] = acc;
+    for (int64_t i = 0; i < n; ++i) idx_out[count[lv[i]]++] = i;
+}
+
+int pcv_native_abi_version() { return 2; }
 
 }  // extern "C"

@@ -146,10 +146,6 @@ def build_octree(
     depth_cap = compute_depth_cap(root_cube.edge_length, resolution)
 
     # --- 1. Morton sort --------------------------------------------------
-    with phase("quantize"):
-        cells = morton.quantize(
-            batch.position, root_cube.min, root_cube.edge_length, depth_cap
-        )
     if use_device and mesh is None:
         # The WHOLE tree derivation (sort + leaf assignment + LOD
         # promotion) runs as one jitted program; the host only groups the
@@ -159,39 +155,45 @@ def build_octree(
 
         from ..ops.tree_build import build_tree_device
 
-        dev = build_tree_device(jnp.asarray(cells), depth_cap, depth_cap)
-        codes = morton.join_u64(np.asarray(dev.code_hi), np.asarray(dev.code_lo))
-        order = np.asarray(dev.order).astype(np.int64)
-        sorted_batch = batch.take(order)
-        final_nodes = _group_device_levels(
-            codes, np.asarray(dev.final_level), np.asarray(dev.leaf_level), depth_cap
-        )
+        with phase("quantize"):
+            cells = morton.quantize(
+                batch.position, root_cube.min, root_cube.edge_length, depth_cap
+            )
+        with phase("device core"):
+            dev = build_tree_device(jnp.asarray(cells), depth_cap, depth_cap)
+            codes = morton.join_u64(np.asarray(dev.code_hi), np.asarray(dev.code_lo))
+            order = np.asarray(dev.order).astype(np.int64)
+        with phase("group levels"):
+            final_nodes = _group_device_levels(
+                codes, np.asarray(dev.final_level), np.asarray(dev.leaf_level),
+                depth_cap,
+            )
     else:
         if mesh is not None:
+            cells = morton.quantize(
+                batch.position, root_cube.min, root_cube.edge_length, depth_cap
+            )
             from ..parallel.sharded_build import sharded_morton_sort
 
             codes, order = sharded_morton_sort(cells, mesh, depth_cap)
         else:
-            with phase("morton+sort"):
-                codes = morton.morton_encode(cells)
-                order = np.argsort(codes, kind="stable")
-                codes = codes[order]
-        with phase("reorder"):
-            sorted_batch = batch.take(order)
+            with phase("quantize+morton"):
+                codes, _ = morton.quantize_and_encode(
+                    batch.position, root_cube.min, root_cube.edge_length, depth_cap
+                )
+            with phase("sort"):
+                codes, order = morton.argsort_codes(codes)
 
-        # --- 2. top-down split discovery ---------------------------------
+        # --- 2+3. leaf discovery + bottom-up LOD subsampling --------------
         with phase("discover+subsample"):
-            levels = _discover_levels(
+            final_nodes = _derive_final_nodes(
                 codes, n, depth_cap, root_cube.edge_length, resolution
             )
-
-            # --- 3. bottom-up LOD subsampling ----------------------------
-            final_nodes = _subsample_bottom_up(levels)
 
     # --- 4. encode + write ------------------------------------------------
     with phase("encode+write"):
         nodes = _write_levels(
-            output_directory, final_nodes, sorted_batch, root_cube, resolution
+            output_directory, final_nodes, batch, order, root_cube, resolution
         )
 
     meta = _meta_proto(resolution, bounding_box, nodes)
@@ -203,6 +205,28 @@ def build_octree(
 
 
 # ---------------------------------------------------------------------------
+
+
+def _derive_final_nodes(
+    codes: np.ndarray,
+    n: int,
+    depth_cap: int,
+    root_edge: float,
+    resolution: float,
+) -> Dict[int, _LevelNodes]:
+    """Sorted codes -> final per-level node lists (leaf assignment + LOD
+    promotion).  Large inputs use the native per-point kernel (the host
+    mirror of ops/tree_build.build_tree_device — same rules, same output);
+    fallback is the vectorized-numpy top-down/bottom-up pair."""
+    if n >= 100_000:
+        from .. import native
+
+        out = native.tree_levels(codes, depth_cap, depth_cap, MAX_POINTS_PER_NODE)
+        if out is not None:
+            leaf, final = out
+            return _group_device_levels(codes, final, leaf, depth_cap)
+    levels = _discover_levels(codes, n, depth_cap, root_edge, resolution)
+    return _subsample_bottom_up(levels)
 
 
 def _discover_levels(
@@ -353,22 +377,52 @@ def _subsample_bottom_up(
     return final
 
 
+def _sorted_unique_counts(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """unique + counts of an ALREADY SORTED array, without re-sorting."""
+    if len(a) == 0:
+        return a, np.zeros(0, dtype=np.int64)
+    starts_mask = np.empty(len(a), dtype=bool)
+    starts_mask[0] = True
+    np.not_equal(a[1:], a[:-1], out=starts_mask[1:])
+    starts = np.flatnonzero(starts_mask)
+    counts = np.diff(np.append(starts, len(a)))
+    return a[starts], counts
+
+
 def _group_device_levels(
     codes: np.ndarray,
     final_levels: np.ndarray,
     leaf_levels: np.ndarray,
     depth_cap: int,
 ) -> Dict[int, _LevelNodes]:
-    """Group the device core's per-point output into the per-level node
-    lists the writer consumes.  The node SET is every leaf node plus all
-    ancestors (nodes drained empty by promotion are still recorded with 0
-    points, matching the host path and the reference's finished_nodes)."""
+    """Group per-point (final_level, leaf_level) output — from the device
+    core or the native host kernel — into the per-level node lists the
+    writer consumes.  The node SET is every leaf node plus all ancestors
+    (nodes drained empty by promotion are still recorded with 0 points,
+    matching the host path and the reference's finished_nodes)."""
+    # One stable counting sort each splits points by level while preserving
+    # the code order inside each level (so per-level prefixes stay sorted).
+    from .. import native
+
+    def _split_by_level(levels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        out = native.group_by_level(levels, depth_cap + 1)
+        if out is not None:
+            return out
+        order = np.argsort(levels, kind="stable").astype(np.int64)
+        return order, np.searchsorted(levels[order], np.arange(depth_cap + 2))
+
+    order_final, final_starts = _split_by_level(final_levels)
+    order_leaf, leaf_starts = _split_by_level(leaf_levels)
+
     # All nodes that exist: leaves + every ancestor.
     node_paths: Dict[int, np.ndarray] = {}
     carry = np.empty(0, dtype=np.uint64)
     for level in range(depth_cap, 0, -1):
-        sel = leaf_levels == level
-        leaf_paths = np.unique(codes[sel] >> np.uint64(3 * (depth_cap - level)))
+        sel = order_leaf[leaf_starts[level] : leaf_starts[level + 1]]
+        shift = np.uint64(3 * (depth_cap - level))
+        # stable argsort keeps original (code) order within a level, so
+        # per-level prefixes are already sorted.
+        leaf_paths, _ = _sorted_unique_counts(codes[sel] >> shift)
         node_paths[level] = np.union1d(carry, leaf_paths)
         carry = np.unique(node_paths[level] >> np.uint64(3))
     node_paths[0] = np.zeros(1, dtype=np.uint64)
@@ -377,16 +431,16 @@ def _group_device_levels(
     for level, paths in node_paths.items():
         if len(paths) == 0:
             continue
-        sel = np.nonzero(final_levels == level)[0]
+        sel = order_final[final_starts[level] : final_starts[level + 1]]
         prefixes = codes[sel] >> np.uint64(3 * (depth_cap - level))
         # Count of points per node (0 for drained nodes).
         counts = np.zeros(len(paths), dtype=np.int64)
-        occupied, occ_counts = np.unique(prefixes, return_counts=True)
+        occupied, occ_counts = _sorted_unique_counts(prefixes)
         pos = np.searchsorted(paths, occupied)
         counts[pos] = occ_counts
         offsets = np.concatenate([[0], np.cumsum(counts)])
         out[level] = _LevelNodes(
-            paths=paths.astype(np.uint64), offsets=offsets, idx=sel.astype(np.int64)
+            paths=paths.astype(np.uint64), offsets=offsets, idx=sel
         )
     return out
 
@@ -402,15 +456,23 @@ _ENCODE_CHUNK_POINTS = 8_000_000  # bounds encode scratch to ~300 MB
 def _write_levels(
     directory: str,
     final_nodes: Dict[int, _LevelNodes],
-    sorted_batch: PointsBatch,
+    batch: PointsBatch,
+    order: np.ndarray,
     root_cube: Cube,
     resolution: float,
 ) -> List[Tuple[NodeId, int]]:
     """Encode per level (one encoding per level) and write node files.
-    Encoding is chunked over groups of whole nodes so peak scratch memory
-    stays bounded regardless of cloud size."""
+
+    `batch` is in ORIGINAL order; `order` maps sorted -> original index
+    (node idx lists index the sorted order).  Point gather + fixpoint
+    encode run fused in one native pass per chunk (no materialized
+    per-point min/edge arrays); encoding is chunked over groups of whole
+    nodes so peak scratch memory stays bounded regardless of cloud size."""
+    from .. import native
+
     recorded: List[Tuple[NodeId, int]] = []
     pool = ThreadPoolExecutor(max_workers=min(32, max(4, os.cpu_count() or 4)))
+    order = np.asarray(order, dtype=np.int64)
     for level in sorted(final_nodes):
         nodes = final_nodes[level]
         k = len(nodes.paths)
@@ -432,16 +494,23 @@ def _write_levels(
                 node_end += 1
             lo = int(nodes.offsets[node_start])
             hi = int(nodes.offsets[node_end])
-            idx = nodes.idx[lo:hi]
+            global_idx = order[nodes.idx[lo:hi]]
             chunk_counts = counts[node_start:node_end]
-            pt_min = np.repeat(mins[node_start:node_end], chunk_counts, axis=0)
-            pt_edge = np.repeat(edges[node_start:node_end], chunk_counts)
-            encoded = encode_positions(
-                sorted_batch.position[idx], pt_min, pt_edge, encoding
+            encoded = native.gather_encode(
+                batch.position, global_idx,
+                mins[node_start:node_end], edges[node_start:node_end],
+                nodes.offsets[node_start : node_end + 1] - lo,
+                encoding.numpy_dtype.base,
             )
-            del pt_min, pt_edge
+            if encoded is None:  # no native library: numpy fallback
+                pt_min = np.repeat(mins[node_start:node_end], chunk_counts, axis=0)
+                pt_edge = np.repeat(edges[node_start:node_end], chunk_counts)
+                encoded = encode_positions(
+                    batch.position[global_idx], pt_min, pt_edge, encoding
+                )
+                del pt_min, pt_edge
             attrs = {
-                name: arr[idx] for name, arr in sorted_batch.attributes.items()
+                name: arr[global_idx] for name, arr in batch.attributes.items()
             }
             chunk_futures = []
             for i in range(node_start, node_end):

@@ -152,10 +152,9 @@ def build_octree_streaming(
                 position=batch.position,
                 attributes={a: batch.attributes[a] for a in attributes},
             )
-        cells = morton.quantize(
+        codes, _ = morton.quantize_and_encode(
             batch.position, root_cube.min, root_cube.edge_length, depth_cap
         )
-        codes = morton.morton_encode(cells)
         buckets = (codes >> np.uint64(3 * (depth_cap - b_levels))).astype(np.int64)
         spill.append(buckets, batch)
         total += len(batch)
@@ -256,11 +255,10 @@ def _build_bucket_subtree(
     """Build the subtree under one level-B node: writes all nodes at levels
     > B, returns the bucket node's residual points (its post-promotion
     content, NOT yet written — the top pass promotes out of it)."""
-    cells = morton.quantize(batch.position, root_cube.min, root_cube.edge_length, depth_cap)
-    codes = morton.morton_encode(cells)
-    order = np.argsort(codes, kind="stable")
-    codes = codes[order]
-    sorted_batch = batch.take(order)
+    codes, _ = morton.quantize_and_encode(
+        batch.position, root_cube.min, root_cube.edge_length, depth_cap
+    )
+    codes, order = morton.argsort_codes(codes)
 
     n = len(batch)
     # Discover splits INSIDE the bucket: start from the bucket node itself.
@@ -277,9 +275,9 @@ def _build_bucket_subtree(
         else np.empty(0, dtype=np.int64)
     )
     nodes = _write_levels(
-        output_directory, final_nodes, sorted_batch, root_cube, resolution
+        output_directory, final_nodes, batch, order, root_cube, resolution
     )
-    return sorted_batch.take(residual_idx), nodes
+    return batch.take(order[residual_idx]), nodes
 
 
 def _discover_subtree_levels(
@@ -349,12 +347,11 @@ def _finish_top(
     node_levels = np.concatenate(
         [np.full(len(b), lvl, dtype=np.int64) for lvl, b in top_inputs]
     )
-    cells = morton.quantize(top.position, root_cube.min, root_cube.edge_length, depth_cap)
-    codes = morton.morton_encode(cells)
-    order = np.argsort(codes, kind="stable")
-    codes = codes[order]
+    codes, _ = morton.quantize_and_encode(
+        top.position, root_cube.min, root_cube.edge_length, depth_cap
+    )
+    codes, order = morton.argsort_codes(codes)
     node_levels = node_levels[order]
-    sorted_top = top.take(order)
 
     level_nodes: Dict[int, _LevelNodes] = {}
     for lvl in np.unique(node_levels):
@@ -369,5 +366,5 @@ def _finish_top(
         )
     final_nodes = _subsample_bottom_up(level_nodes)
     return _write_levels(
-        output_directory, final_nodes, sorted_top, root_cube, resolution
+        output_directory, final_nodes, top, order, root_cube, resolution
     )

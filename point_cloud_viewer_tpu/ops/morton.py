@@ -34,10 +34,61 @@ def quantize(positions: np.ndarray, cube_min, edge_length: float, depth: int) ->
     positions = np.asarray(positions, dtype=np.float64)
     if edge_length <= 0:
         return np.zeros((len(positions), 3), dtype=np.uint32)
+    if len(positions) >= 100_000:
+        from .. import native
+
+        out = native.quantize_morton(
+            positions, np.asarray(cube_min, dtype=np.float64), float(edge_length),
+            depth, want_cells=True,
+        )
+        if out is not None:
+            return out[1]
     scale = float(1 << depth)
     t = (positions - cube_min) / edge_length
     cells = np.floor(t * scale)
     return np.clip(cells, 0, scale - 1).astype(np.uint32)
+
+
+def quantize_and_encode(
+    positions: np.ndarray, cube_min, edge_length: float, depth: int,
+    want_cells: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fused quantize + morton_encode: (N,3) f64 -> (codes u64, cells u32).
+
+    One pass over the input via the native kernel when available (the
+    separate numpy passes are ~10x slower on large clouds); `cells` is None
+    unless want_cells.  Bit-identical to quantize() + morton_encode().
+    """
+    positions = np.asarray(positions, dtype=np.float64)
+    n = len(positions)
+    if edge_length <= 0:
+        cells = np.zeros((n, 3), dtype=np.uint32)
+        return np.zeros(n, dtype=np.uint64), (cells if want_cells else None)
+    if n >= 100_000:
+        from .. import native
+
+        out = native.quantize_morton(
+            positions, np.asarray(cube_min, dtype=np.float64), float(edge_length),
+            depth, want_cells=want_cells,
+        )
+        if out is not None:
+            return out
+    cells = quantize(positions, cube_min, edge_length, depth)
+    return morton_encode(cells), (cells if want_cells else None)
+
+
+def argsort_codes(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Stable sort of u64 Morton codes -> (sorted_codes, permutation).
+
+    Native multi-pass radix sort when available, else np.argsort."""
+    if len(codes) >= 100_000:
+        from .. import native
+
+        out = native.radix_argsort_u64(codes)
+        if out is not None:
+            return out
+    order = np.argsort(codes, kind="stable")
+    return codes[order], order
 
 
 def _spread3_u64(x: np.ndarray) -> np.ndarray:
