@@ -1,17 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark: end-to-end octree build throughput (Mpoints/sec) on the
-default JAX device, plus the viewer inner loop (frustum cull + LOD select)
-in ms/frame.
+"""Benchmark: END-TO-END octree build throughput (Mpoints/sec) — synthetic
+points in memory -> finished reference-format octree directory on disk —
+plus the viewer inner loop (frustum cull + LOD select) in ms/frame.
 
 Prints ONE JSON line:
   {"metric": "octree_build_mpoints_per_sec", "value": ..., "unit": ...,
    "vs_baseline": ...}
 
-`vs_baseline` is the speedup of the device-accelerated build over the
-single-threaded host-numpy implementation of the same pipeline measured on
-this machine (the reference Rust builder publishes no numbers — see
-BASELINE.md; the host path stands in as the CPU baseline).
-"""
+The headline `value` is the full-pipeline wall time of the best available
+path on THIS machine; `vs_baseline` is its speedup over the single-threaded
+host-only implementation of the same pipeline (the reference Rust builder
+publishes no numbers — see BASELINE.md; the host path stands in as the CPU
+baseline).  Both `e2e_device_s` (device-offloaded build incl. all
+host<->device transfers) and `host_build_s` are reported separately, plus
+`device_core_s` (device-resident core, the local-HBM deployment number) —
+on this machine the TPU sits behind a ~25 MB/s relay, so the end-to-end
+device path is transfer-bound; the honest split makes that visible."""
 
 import argparse
 import json
@@ -36,16 +40,32 @@ def synth_points(n: int, seed: int = 0):
     )
 
 
-def time_build(batch, use_device: bool, resolution: float) -> float:
+def time_build(
+    batch, use_device: bool, resolution: float, warm: bool = False,
+    native_kernels: bool = True,
+) -> float:
+    """Wall time of one full build (points in memory -> octree on disk).
+
+    warm=True runs the build twice and times the second — the device path's
+    first run includes a one-off remote XLA compile (~30-40 s on the relay)
+    that is not part of steady-state throughput.  native_kernels=False
+    forces the pure-numpy pipeline (the unaccelerated CPU baseline)."""
+    import contextlib
+
+    from point_cloud_viewer_tpu import native
     from point_cloud_viewer_tpu.octree.builder import build_octree
 
-    out = tempfile.mkdtemp(prefix="bench_octree_")
-    try:
-        t0 = time.perf_counter()
-        build_octree(out, resolution, batch, use_device=use_device)
-        return time.perf_counter() - t0
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    ctx = contextlib.nullcontext() if native_kernels else native.disabled()
+    with ctx:
+        for _ in range(1 + int(warm)):
+            out = tempfile.mkdtemp(prefix="bench_octree_")
+            try:
+                t0 = time.perf_counter()
+                build_octree(out, resolution, batch, use_device=use_device)
+                dt = time.perf_counter() - t0
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+    return dt
 
 
 def time_device_core(batch, resolution: float, repeats: int = 3) -> float:
@@ -85,9 +105,15 @@ def time_device_core(batch, resolution: float, repeats: int = 3) -> float:
     return (time.perf_counter() - t0) / repeats
 
 
-def time_cull(num_nodes: int, frames: int = 200) -> float:
-    """ms/frame of the jitted cull+LOD step over a node table sized like a
-    100M-point octree (~num_nodes nodes)."""
+def time_cull(num_nodes: int, frames: int = 200):
+    """ms/frame of the cull+LOD step over a node table sized like a
+    100M-point octree (~num_nodes nodes).
+
+    Returns (host_ms, device_ms, device_batched_ms): the host-native kernel
+    is the interactive path on this machine (the TPU sits behind a relay
+    with ~30 ms round-trip latency, so any per-frame device dispatch breaks
+    the 60 fps budget by construction); the device kernel is the path for
+    huge tables and batched multi-frame workloads."""
     import jax
     import jax.numpy as jnp
 
@@ -121,7 +147,24 @@ def time_cull(num_nodes: int, frames: int = 200) -> float:
     t0 = time.perf_counter()
     for _ in range(frames):
         run()
-    single_ms = (time.perf_counter() - t0) / frames * 1e3
+    device_ms = (time.perf_counter() - t0) / frames * 1e3
+
+    # Host-native single-frame path (the interactive 60 fps loop).
+    from point_cloud_viewer_tpu.ops.culling import frustum_cull_lod_select_host
+
+    matrix_np = frustum.clip_from_query.astype(np.float32)
+
+    def run_host():
+        order, sizes, visible = frustum_cull_lod_select_host(
+            matrix_np, axes, qmin, qmax, mins, edges, num_points
+        )
+        return int(order[0])
+
+    run_host()
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        run_host()
+    host_ms = (time.perf_counter() - t0) / frames * 1e3
 
     # Batched frames: one dispatch for F frames (amortizes the per-call
     # round trip, which dominates on relayed backends).
@@ -167,7 +210,7 @@ def time_cull(num_nodes: int, frames: int = 200) -> float:
     for _ in range(reps):
         run_batch()
     batched_ms = (time.perf_counter() - t0) / (reps * f) * 1e3
-    return single_ms, batched_ms
+    return host_ms, device_ms, batched_ms
 
 
 def bench_queries(n: int = 1_000_000) -> dict:
@@ -259,18 +302,29 @@ def main() -> None:
 
     batch = synth_points(args.n)
 
-    device_s = time_device_core(batch, args.resolution)
-    mpts = args.n / device_s / 1e6
-
+    # Device-resident core (data already in HBM — the local-deployment
+    # number) and the two honest end-to-end pipelines.
+    device_core_s = time_device_core(batch, args.resolution)
+    e2e_device_s = time_build(
+        batch, use_device=True, resolution=args.resolution, warm=True
+    )
+    host_s = time_build(batch, use_device=False, resolution=args.resolution)
     if args.skip_baseline:
-        ratio, host_s = 1.0, None
+        baseline_s = None
     else:
-        # Host-numpy implementation of the same core (sort + tree + LOD +
-        # encode + file writes) — the single-process CPU baseline.
-        host_s = time_build(batch, use_device=False, resolution=args.resolution)
-        ratio = host_s / device_s
+        # The same full pipeline with every native/device kernel disabled —
+        # the single-threaded pure-numpy CPU baseline.
+        baseline_s = time_build(
+            batch, use_device=False, resolution=args.resolution,
+            native_kernels=False,
+        )
 
-    cull_ms, cull_batched_ms = time_cull(num_nodes=4096)
+    # Headline: the best full pipeline available on this machine.
+    best_s = min(e2e_device_s, host_s)
+    mpts = args.n / best_s / 1e6
+    ratio = 1.0 if baseline_s is None else baseline_s / best_s
+
+    cull_ms, cull_device_ms, cull_batched_ms = time_cull(num_nodes=4096)
 
     extra = bench_queries() if args.queries else {}
 
@@ -282,10 +336,17 @@ def main() -> None:
                 "value": round(mpts, 3),
                 "unit": "Mpoints/s",
                 "vs_baseline": round(ratio, 3),
+                "headline_path": "host" if host_s <= e2e_device_s else "device",
                 "cull_lod_ms_per_frame_4096_nodes": round(cull_ms, 4),
+                "cull_lod_device_ms_per_frame": round(cull_device_ms, 4),
                 "cull_lod_ms_per_frame_batched": round(cull_batched_ms, 4),
-                "host_build_s": None if host_s is None else round(host_s, 3),
-                "device_core_s": round(device_s, 4),
+                "e2e_device_s": round(e2e_device_s, 3),
+                "host_build_s": round(host_s, 3),
+                "numpy_baseline_s": (
+                    None if baseline_s is None else round(baseline_s, 3)
+                ),
+                "device_core_s": round(device_core_s, 4),
+                "device_core_mpoints_per_sec": round(args.n / device_core_s / 1e6, 3),
                 "n_points": args.n,
             }
         )

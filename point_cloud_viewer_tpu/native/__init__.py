@@ -22,6 +22,24 @@ _SO = os.path.join(_DIR, "libpcv_native.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_disabled = False
+
+
+def disabled():
+    """Context manager forcing the numpy fallbacks (for baseline benches)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global _disabled
+        prev = _disabled
+        _disabled = True
+        try:
+            yield
+        finally:
+            _disabled = prev
+
+    return _ctx()
 
 
 def _build() -> bool:
@@ -38,6 +56,8 @@ def _build() -> bool:
 
 def lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
+    if _disabled:
+        return None
     with _lock:
         if _lib is not None or _tried:
             return _lib
@@ -92,6 +112,17 @@ def _configure(h: ctypes.CDLL) -> None:
     h.tree_levels.argtypes = [
         POINTER(c_uint64), c_int64, ctypes.c_int, ctypes.c_int, c_int64,
         POINTER(c_uint8), POINTER(c_uint8),
+    ]
+    h.cull_lod_select.argtypes = [
+        POINTER(c_float), POINTER(c_float), POINTER(c_float), POINTER(c_float),
+        c_int64, POINTER(c_float), POINTER(c_float), POINTER(ctypes.c_int32),
+        c_int64, POINTER(ctypes.c_int32), POINTER(c_float), POINTER(c_uint8),
+    ]
+    h.cull_lod_select_f64.argtypes = [
+        POINTER(c_double), POINTER(c_double), POINTER(c_double),
+        POINTER(c_double), c_int64, POINTER(c_double), POINTER(c_double),
+        POINTER(ctypes.c_int32), c_int64, POINTER(ctypes.c_int32),
+        POINTER(c_double), POINTER(c_uint8),
     ]
     h.group_by_level.argtypes = [
         POINTER(c_uint8), c_int64, ctypes.c_int, POINTER(c_int64),
@@ -211,6 +242,41 @@ def tree_levels(
         _ptr(leaf, ctypes.c_uint8), _ptr(final, ctypes.c_uint8),
     )
     return leaf, final
+
+
+def cull_lod_select(
+    matrix: np.ndarray, axes: np.ndarray, qmin: np.ndarray, qmax: np.ndarray,
+    node_min: np.ndarray, edge: np.ndarray, num_points: np.ndarray,
+    dtype=np.float32,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Host frustum cull + LOD select -> (order i32, sizes, visible bool),
+    or None if the library is unavailable.  dtype: float32 or float64."""
+    h = lib()
+    if h is None:
+        return None
+    dtype = np.dtype(dtype)
+    fn = h.cull_lod_select if dtype == np.float32 else h.cull_lod_select_f64
+    ctype = ctypes.c_float if dtype == np.float32 else ctypes.c_double
+    matrix = np.ascontiguousarray(matrix, dtype=dtype)
+    axes = np.ascontiguousarray(axes, dtype=dtype)
+    qmin = np.ascontiguousarray(qmin, dtype=dtype)
+    qmax = np.ascontiguousarray(qmax, dtype=dtype)
+    node_min = np.ascontiguousarray(node_min, dtype=dtype)
+    edge = np.ascontiguousarray(edge, dtype=dtype)
+    num_points = np.ascontiguousarray(num_points, dtype=np.int32)
+    k = len(edge)
+    order = np.empty(k, dtype=np.int32)
+    sizes = np.empty(k, dtype=dtype)
+    visible = np.empty(k, dtype=np.uint8)
+    fn(
+        _ptr(matrix, ctype), _ptr(axes, ctype),
+        _ptr(qmin, ctype), _ptr(qmax, ctype), len(axes),
+        _ptr(node_min, ctype), _ptr(edge, ctype),
+        _ptr(num_points, ctypes.c_int32), k,
+        _ptr(order, ctypes.c_int32), _ptr(sizes, ctype),
+        _ptr(visible, ctypes.c_uint8),
+    )
+    return order, sizes, visible.astype(bool)
 
 
 def group_by_level(

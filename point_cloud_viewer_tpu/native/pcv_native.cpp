@@ -13,6 +13,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -405,6 +406,98 @@ void group_by_level(const uint8_t* lv, int64_t n, int num_levels,
     }
     starts[num_levels] = acc;
     for (int64_t i = 0; i < n; ++i) idx_out[count[lv[i]]++] = i;
+}
+
+// ---------------------------------------------------------------------------
+// Host-side frustum cull + LOD select — the interactive-latency twin of
+// ops/culling._cull_core (same SAT relations, same hemicube screen-size
+// heuristic, same stable descending-priority order).  On relay-attached
+// accelerators a single device dispatch costs ~30 ms; node tables up to
+// ~100k are faster to cull on host, so the viewer picks per table size.
+
+}  // extern "C" — template with C++ linkage
+
+template <typename F>
+static void cull_lod_select_impl(const F* matrix, const F* axes, const F* qmin,
+                                 const F* qmax, int64_t a, const F* node_min,
+                                 const F* edge, const int32_t* num_points,
+                                 int64_t k, int32_t* order_out, F* sizes_out,
+                                 uint8_t* visible_out) {
+    std::vector<F> priority(k);
+    for (int64_t i = 0; i < k; ++i) {
+        const F e = edge[i];
+        const F mn[3] = {node_min[3 * i], node_min[3 * i + 1],
+                         node_min[3 * i + 2]};
+        // 8 cube corners, x fastest (matches _CORNER_UNIT).
+        F c[8][3];
+        for (int ci = 0; ci < 8; ++ci) {
+            c[ci][0] = mn[0] + ((ci & 1) ? e : F(0));
+            c[ci][1] = mn[1] + ((ci & 2) ? e : F(0));
+            c[ci][2] = mn[2] + ((ci & 4) ? e : F(0));
+        }
+        // SAT out-test against the cached frustum axes (visibility only
+        // needs Out vs not-Out; early exit on the first separating axis).
+        bool out = false;
+        for (int64_t ax = 0; ax < a && !out; ++ax) {
+            const F* av = axes + 3 * ax;
+            F bmin = std::numeric_limits<F>::max();
+            F bmax = std::numeric_limits<F>::lowest();
+            for (int ci = 0; ci < 8; ++ci) {
+                const F p =
+                    c[ci][0] * av[0] + c[ci][1] * av[1] + c[ci][2] * av[2];
+                bmin = std::min(bmin, p);
+                bmax = std::max(bmax, p);
+            }
+            if (bmin > qmax[ax] || bmax < qmin[ax]) out = true;
+        }
+        // Screen-size heuristic: clamped xy extent of the projected cube
+        // (reference: src/octree/mod.rs:119-139).
+        F xmin = F(1), xmax = F(-1), ymin = F(1), ymax = F(-1);
+        for (int ci = 0; ci < 8; ++ci) {
+            const F w = matrix[12] * c[ci][0] + matrix[13] * c[ci][1] +
+                        matrix[14] * c[ci][2] + matrix[15];
+            const F px = (matrix[0] * c[ci][0] + matrix[1] * c[ci][1] +
+                          matrix[2] * c[ci][2] + matrix[3]) / w;
+            const F py = (matrix[4] * c[ci][0] + matrix[5] * c[ci][1] +
+                          matrix[6] * c[ci][2] + matrix[7]) / w;
+            const F cx = px < F(-1) ? F(-1) : (px > F(1) ? F(1) : px);
+            const F cy = py < F(-1) ? F(-1) : (py > F(1) ? F(1) : py);
+            xmin = std::min(xmin, cx); xmax = std::max(xmax, cx);
+            ymin = std::min(ymin, cy); ymax = std::max(ymax, cy);
+        }
+        const F size = (xmax - xmin) * (ymax - ymin);
+        const bool vis = !out && num_points[i] > 0;
+        sizes_out[i] = size;
+        visible_out[i] = vis ? 1 : 0;
+        priority[i] = vis ? size : std::numeric_limits<F>::lowest();
+    }
+    for (int64_t i = 0; i < k; ++i) order_out[i] = (int32_t)i;
+    std::stable_sort(order_out, order_out + k, [&](int32_t x, int32_t y) {
+        return priority[x] > priority[y];
+    });
+}
+
+extern "C" {
+
+void cull_lod_select(const float* matrix, const float* axes, const float* qmin,
+                     const float* qmax, int64_t a, const float* node_min,
+                     const float* edge, const int32_t* num_points, int64_t k,
+                     int32_t* order_out, float* sizes_out,
+                     uint8_t* visible_out) {
+    cull_lod_select_impl<float>(matrix, axes, qmin, qmax, a, node_min, edge,
+                                num_points, k, order_out, sizes_out,
+                                visible_out);
+}
+
+void cull_lod_select_f64(const double* matrix, const double* axes,
+                         const double* qmin, const double* qmax, int64_t a,
+                         const double* node_min, const double* edge,
+                         const int32_t* num_points, int64_t k,
+                         int32_t* order_out, double* sizes_out,
+                         uint8_t* visible_out) {
+    cull_lod_select_impl<double>(matrix, axes, qmin, qmax, a, node_min, edge,
+                                 num_points, k, order_out, sizes_out,
+                                 visible_out);
 }
 
 int pcv_native_abi_version() { return 2; }

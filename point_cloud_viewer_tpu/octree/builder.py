@@ -153,20 +153,27 @@ def build_octree(
         # identical to the host path.
         import jax.numpy as jnp
 
-        from ..ops.tree_build import build_tree_device
+        from ..ops.tree_build import build_tree_device_codes
 
-        with phase("quantize"):
-            cells = morton.quantize(
+        with phase("quantize+morton"):
+            codes_unsorted, _ = morton.quantize_and_encode(
                 batch.position, root_cube.min, root_cube.edge_length, depth_cap
             )
+            hi, lo = morton.split_u64(codes_unsorted)
         with phase("device core"):
-            dev = build_tree_device(jnp.asarray(cells), depth_cap, depth_cap)
-            codes = morton.join_u64(np.asarray(dev.code_hi), np.asarray(dev.code_lo))
-            order = np.asarray(dev.order).astype(np.int64)
+            # Minimal transfers on relayed backends: 8 B/pt up (packed
+            # codes), 6 B/pt down (order u32 + final/leaf u8); the sorted
+            # codes are recovered on host as codes[order].
+            d_idx, d_final, d_leaf = build_tree_device_codes(
+                jnp.asarray(hi), jnp.asarray(lo), depth_cap, depth_cap
+            )
+            order = np.asarray(d_idx).astype(np.int64)
+            final_levels = np.asarray(d_final)
+            leaf_levels = np.asarray(d_leaf)
         with phase("group levels"):
+            codes = codes_unsorted[order]
             final_nodes = _group_device_levels(
-                codes, np.asarray(dev.final_level), np.asarray(dev.leaf_level),
-                depth_cap,
+                codes, final_levels, leaf_levels, depth_cap
             )
     else:
         if mesh is not None:

@@ -115,10 +115,29 @@ class Octree:
         return [self.node_ids[i] for i in order]
 
     def visible_nodes_with_sizes(self, frustum) -> tuple:
-        """Returns (indices ordered by size desc, sizes) of visible nodes."""
-        from ..math.sat import REL_OUT
+        """Returns (indices ordered by size desc, sizes) of visible nodes.
+
+        Native single-pass kernel when available (corners are expanded on
+        the fly — no (K, 8, 3) materialization, which matters at ~1M-node
+        scale); vectorized-numpy fallback below."""
+        from .. import native
 
         cached = frustum.intersector().cached_axes_for_aabb()
+        proj = cached.corners @ cached.axes.T  # (8, A)
+        out = native.cull_lod_select(
+            frustum.clip_from_query, cached.axes,
+            proj.min(axis=0), proj.max(axis=0),
+            self.cube_mins, self.cube_edges,
+            self.num_points, dtype=np.float64,
+        )
+        if out is not None:
+            order, sizes, visible = out
+            count = int(visible.sum())
+            order = order[:count]
+            return order, sizes[order]
+
+        from ..math.sat import REL_OUT
+
         corners = self.node_corners()
         relation = cached.intersect(corners)
         sizes = relative_sizes_on_screen(frustum.clip_from_query, corners)

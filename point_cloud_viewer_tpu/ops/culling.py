@@ -97,6 +97,52 @@ frustum_cull_lod_select_frames = jax.jit(
 )
 
 
+def frustum_cull_lod_select_host(
+    matrix: np.ndarray,
+    axes: np.ndarray,
+    query_min_proj: np.ndarray,
+    query_max_proj: np.ndarray,
+    node_mins: np.ndarray,
+    node_edges: np.ndarray,
+    num_points: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host twin of frustum_cull_lod_select (same SAT + screen-size rules,
+    native C++ kernel with a numpy fallback).
+
+    On relay-attached accelerators a single device dispatch costs ~30 ms of
+    round-trip latency; interactive-scale node tables (<~100k) are culled
+    here in well under a frame instead.  The device kernel remains the path
+    for huge tables and batched (multi-frame / multi-query) workloads."""
+    from .. import native
+
+    out = native.cull_lod_select(
+        matrix, axes, query_min_proj, query_max_proj,
+        node_mins, node_edges, num_points,
+    )
+    if out is not None:
+        return out
+    # numpy fallback (same math as the device kernel, host-resident)
+    mins = np.asarray(node_mins, dtype=np.float32)
+    edges = np.asarray(node_edges, dtype=np.float32)
+    corners = mins[:, None, :] + _CORNER_UNIT[None, :, :] * edges[:, None, None]
+    proj = np.einsum("kcd,ad->kca", corners, np.asarray(axes, np.float32))
+    b_min, b_max = proj.min(axis=1), proj.max(axis=1)
+    out_mask = np.any(
+        (b_min > query_max_proj) | (b_max < query_min_proj), axis=1
+    )
+    m = np.asarray(matrix, dtype=np.float32)
+    q = np.einsum("kcd,rd->kcr", corners, m[:3, :3]) + m[:3, 3]
+    w = np.einsum("kcd,d->kc", corners, m[3, :3]) + m[3, 3]
+    p = q / w[..., None]
+    x = np.clip(p[..., 0], -1.0, 1.0)
+    y = np.clip(p[..., 1], -1.0, 1.0)
+    sizes = (x.max(axis=1) - x.min(axis=1)) * (y.max(axis=1) - y.min(axis=1))
+    visible = (~out_mask) & (np.asarray(num_points) > 0)
+    priority = np.where(visible, sizes, -np.inf)
+    order = np.argsort(-priority, kind="stable").astype(np.int32)
+    return order, sizes.astype(np.float32), visible
+
+
 def frustum_axes_and_projections(frustum) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host-side per-frame prep: cached separating axes of the frustum vs
     AABBs plus the query-corner projections (A is data-dependent; computed

@@ -103,6 +103,74 @@ def _starts_all_levels(hi: jnp.ndarray, lo: jnp.ndarray, depth: int,
     return starts.at[0, :].set(True)
 
 
+def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node):
+    """Sorted (hi, lo) codes -> (leaf_level, final_level) int32 per point.
+
+    Leaf: first level whose segment holds <= max_points_per_node points
+    (capped at max_split_level).  Promotion: per level deepest-first, every
+    8th resident point of each node moves to the parent (the reference's
+    subsampling rule, src/octree/generation.rs:224-229).  Levels with no
+    resident points are skipped at runtime (lax.cond); a gather-based rank
+    was measured 2.8x SLOWER than cumsum+cummax on TPU."""
+    n = hi.shape[0]
+    levels_n = max_split_level
+    starts_all = _starts_all_levels(hi, lo, depth, levels_n)  # (N, L)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, levels_n), 0)
+    seg_start = jax.lax.cummax(jnp.where(starts_all, iota_n, 0), axis=0)
+    nb = jnp.where(starts_all, iota_n, n)
+    nxt = jax.lax.cummin(nb[::-1], axis=0)[::-1]
+    seg_end = jnp.concatenate(
+        [nxt[1:], jnp.full((1, levels_n), n, dtype=nxt.dtype)], axis=0
+    )
+    counts = seg_end - seg_start  # (N, L)
+    small = counts <= max_points_per_node
+    has_leaf = jnp.any(small, axis=1)
+    leaf = jnp.where(
+        has_leaf, jnp.argmax(small, axis=1).astype(jnp.int32) + 1, levels_n
+    )
+
+    cur = leaf
+    for level in range(max_split_level, 0, -1):
+        starts = starts_all[:, level - 1]
+        active = cur == level
+
+        def _promote_level(args):
+            cur_, active_, starts_ = args
+            rank = _segmented_rank(active_, starts_)
+            promote = active_ & (rank % 8 == 0)
+            return jnp.where(promote, level - 1, cur_)
+
+        cur = jax.lax.cond(
+            jnp.any(active),
+            _promote_level,
+            lambda args: args[0],
+            (cur, active, starts),
+        )
+    return leaf, cur
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth", "max_split_level", "max_points_per_node")
+)
+def build_tree_device_codes(
+    hi: jnp.ndarray,  # (N,) uint32 Morton code bits 32..62 (unsorted)
+    lo: jnp.ndarray,  # (N,) uint32 bits 0..31
+    depth: int,
+    max_split_level: int,
+    max_points_per_node: int = MAX_POINTS_PER_NODE,
+):
+    """Minimal-transfer build core: host-encoded Morton codes in (8 B/pt up),
+    (order u32, final u8, leaf u8) out (6 B/pt down) — the host already has
+    the unsorted codes, so sorted codes are recovered there as codes[order].
+    Same leaf/promotion rules as build_tree_device."""
+    n = hi.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
+    hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+    leaf, cur = _assign_and_promote(hi, lo, depth, max_split_level,
+                                    max_points_per_node)
+    return idx, cur.astype(jnp.uint8), leaf.astype(jnp.uint8)
+
+
 @functools.partial(
     jax.jit, static_argnames=("depth", "max_split_level", "max_points_per_node")
 )
@@ -123,48 +191,8 @@ def build_tree_device(
     sorted_cells = cells[idx]
     cx, cy, cz = sorted_cells[:, 0], sorted_cells[:, 1], sorted_cells[:, 2]
 
-    # ---- leaf level: first level with count <= max_points_per_node -------
-    # All levels at once: two wide scans over (N, L) instead of ~4L narrow
-    # ones (scan-op overhead dominates on the N-length axis).
-    levels_n = max_split_level
-    starts_all = _starts_all_levels(hi, lo, depth, levels_n)  # (N, L)
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, levels_n), 0)
-    seg_start = jax.lax.cummax(jnp.where(starts_all, iota_n, 0), axis=0)
-    nb = jnp.where(starts_all, iota_n, n)
-    nxt = jax.lax.cummin(nb[::-1], axis=0)[::-1]
-    seg_end = jnp.concatenate(
-        [nxt[1:], jnp.full((1, levels_n), n, dtype=nxt.dtype)], axis=0
-    )
-    counts = seg_end - seg_start  # (N, L)
-    small = counts <= max_points_per_node
-    has_leaf = jnp.any(small, axis=1)
-    leaf = jnp.where(
-        has_leaf, jnp.argmax(small, axis=1).astype(jnp.int32) + 1, levels_n
-    )
-
-    # ---- LOD promotion ----------------------------------------------------
-    # Levels with no resident points are skipped at runtime (lax.cond):
-    # trees typically occupy only a handful of levels, so most of the
-    # max_split_level iterations are no-ops.  (A gather-based rank reusing
-    # seg_start was measured 2.8x SLOWER than cumsum+cummax on TPU — large
-    # gathers lose to scans here.)
-    cur = leaf
-    for level in range(max_split_level, 0, -1):
-        starts = starts_all[:, level - 1]
-        active = cur == level
-
-        def _promote_level(args):
-            cur_, active_, starts_ = args
-            rank = _segmented_rank(active_, starts_)
-            promote = active_ & (rank % 8 == 0)
-            return jnp.where(promote, level - 1, cur_)
-
-        cur = jax.lax.cond(
-            jnp.any(active),
-            _promote_level,
-            lambda args: args[0],
-            (cur, active, starts),
-        )
+    leaf, cur = _assign_and_promote(hi, lo, depth, max_split_level,
+                                    max_points_per_node)
 
     # ---- node-normalized coordinates --------------------------------------
     # node of a point spans 2^(depth - cur) cells per axis.
