@@ -114,6 +114,17 @@ class PointCloudClient:
         """Stream every matching batch to `callback` (serially).  An
         exception raised by the callback cancels outstanding work and
         propagates."""
+        for batch in self.stream(query):
+            callback(batch)
+
+    def stream(self, query: PointQuery) -> Iterator[PointsBatch]:
+        """Lazily yield matching batches as worker threads produce them.
+
+        Truly streaming: batches are yielded straight off the bounded
+        worker queue (back-pressure holds workers when the consumer is
+        slow), and abandoning the generator (break / .close()) cancels all
+        outstanding work cooperatively — the reference's early-stop
+        semantics (src/iterator.rs:226-334, src/octree/tests.rs:83-136)."""
         jobs: List[Tuple[object, object]] = []
         for cloud in self.clouds:
             for node_id in cloud.nodes_in_location(query.location):
@@ -168,29 +179,24 @@ class PointCloudClient:
             t.start()
 
         done_workers = 0
-        consumer_error: Optional[BaseException] = None
-        while done_workers < len(threads):
-            item = out.get()
-            if item is _SENTINEL:
-                done_workers += 1
-                continue
-            if cancel.is_set():
-                continue  # drain
-            try:
-                callback(item)
-            except BaseException as e:
-                consumer_error = e
-                cancel.set()
-        for t in threads:
-            t.join()
-        if consumer_error is not None:
-            raise consumer_error
+        try:
+            while done_workers < len(threads):
+                item = out.get()
+                if item is _SENTINEL:
+                    done_workers += 1
+                    continue
+                if cancel.is_set():
+                    continue  # drain
+                yield item
+        finally:
+            # Normal exhaustion, consumer exception, or an abandoned
+            # generator all land here: cancel outstanding work, drain the
+            # queue so blocked producers can emit their sentinel, join.
+            cancel.set()
+            while done_workers < len(threads):
+                if out.get() is _SENTINEL:
+                    done_workers += 1
+            for t in threads:
+                t.join()
         if errors:
             raise errors[0]
-
-    def stream(self, query: PointQuery) -> Iterator[PointsBatch]:
-        """Generator interface over for_each_point_data (collects eagerly
-        per node set but yields lazily batch by batch)."""
-        results: List[PointsBatch] = []
-        self.for_each_point_data(query, results.append)
-        yield from results

@@ -41,7 +41,7 @@ FPS_LOWER, FPS_UPPER = 20.0, 25.0
 class NodeView:
     """A node's decoded, shuffled point data ready to draw."""
 
-    positions: np.ndarray  # (N, 3) f32-ish world coords
+    positions: np.ndarray  # (N, 3) f64 world coords (planet-scale safe)
     colors: np.ndarray  # (N, 3) u8
 
     def prefix(self, level_of_detail: int) -> Tuple[np.ndarray, np.ndarray]:

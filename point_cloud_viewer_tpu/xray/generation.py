@@ -76,7 +76,12 @@ class XRayStrategy(ColoringStrategy):
             keys = np.unique(np.concatenate(self._keys))  # distinct (pixel, z)
             pix, counts = np.unique(keys // 2048, return_counts=True)
             saturation = np.log(counts.astype(np.float64)) / np.log(NUM_Z_BUCKETS)
-            value = ((1.0 - saturation) * 255.0).astype(np.uint8)
+            # A pixel spanning the full z range occupies 1025 distinct
+            # buckets (z in [0, 1024] inclusive, like the reference's
+            # truncating cast), so saturation can slightly exceed 1; Rust's
+            # `as u8` saturates the negative result to 0 where numpy would
+            # wrap — clip to match (xray/src/generation.rs XRay::render).
+            value = np.clip((1.0 - saturation) * 255.0, 0.0, 255.0).astype(np.uint8)
             img[pix, 0] = value
             img[pix, 1] = value
             img[pix, 2] = value

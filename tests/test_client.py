@@ -120,3 +120,25 @@ def test_bounding_box_union(cloud):
     client = PointCloudClient.from_locations([out, out])
     bb = client.bounding_box()
     assert (bb.maxs > bb.mins).all()
+
+
+def test_stream_is_lazy_and_cancellable(cloud):
+    """stream() must yield before the full query completes and cancel
+    cleanly when abandoned mid-iteration."""
+    import threading
+
+    from point_cloud_viewer_tpu.query.location import AllPoints
+
+    batch, out = cloud
+    before = threading.active_count()
+    client = PointCloudClient.from_locations([out], num_threads=2, batch_size=100)
+    gen = client.stream(PointQuery(attributes=["color"], location=AllPoints()))
+    first = next(gen)
+    assert len(first) == 100  # yielded long before the 200k-point query ends
+    gen.close()  # abandon: must cancel workers and join them, not deadlock
+    assert threading.active_count() == before
+    # A fresh full stream still works after an abandoned one.
+    total = sum(len(b) for b in client.stream(
+        PointQuery(attributes=["color"], location=AllPoints())
+    ))
+    assert total == len(batch)
