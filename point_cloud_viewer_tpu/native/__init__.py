@@ -110,8 +110,8 @@ def _configure(h: ctypes.CDLL) -> None:
         POINTER(c_float),
     ]
     h.tree_levels.argtypes = [
-        POINTER(c_uint64), c_int64, ctypes.c_int, ctypes.c_int, c_int64,
-        POINTER(c_uint8), POINTER(c_uint8),
+        POINTER(c_uint64), c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, c_int64, POINTER(c_uint8), POINTER(c_uint8),
     ]
     h.cull_lod_select.argtypes = [
         POINTER(c_float), POINTER(c_float), POINTER(c_float), POINTER(c_float),
@@ -226,9 +226,11 @@ def quantize_morton(
 
 def tree_levels(
     codes: np.ndarray, depth: int, max_split_level: int, max_points: int,
+    root_level: int = 0, stop_level: int = 0,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Per-point (leaf_level, final_level) over SORTED Morton codes — host
-    mirror of ops/tree_build.build_tree_device; None if unavailable."""
+    mirror of ops/tree_build.build_tree_device; None if unavailable.
+    root_level/stop_level target subtree (out-of-core bucket) builds."""
     h = lib()
     if h is None:
         return None
@@ -238,6 +240,7 @@ def tree_levels(
     final = np.empty(n, dtype=np.uint8)
     h.tree_levels(
         _ptr(codes, ctypes.c_uint64), n, ctypes.c_int(depth),
+        ctypes.c_int(root_level), ctypes.c_int(stop_level),
         ctypes.c_int(max_split_level), max_points,
         _ptr(leaf, ctypes.c_uint8), _ptr(final, ctypes.c_uint8),
     )

@@ -327,9 +327,15 @@ void gather_encode_f64(const double* pos, const int64_t* idx,
 //              point (rank % 8 == 0) resident in a node moves to its parent
 //              (reference rule, src/octree/generation.rs:224-229).
 
-void tree_levels(const uint64_t* codes, int64_t n, int depth,
-                 int max_split_level, int64_t max_points, uint8_t* leaf_out,
-                 uint8_t* final_out) {
+// root_level/stop_level generalize to SUBTREE builds (the out-of-core
+// bucket path): the DFS roots at the level-`root_level` node containing all
+// codes (treated as split unconditionally), and promotion stops at
+// `stop_level` — points accumulated there are the bucket residual the
+// caller's top pass continues from.  The whole-tree build is
+// root_level = stop_level = 0.
+void tree_levels(const uint64_t* codes, int64_t n, int depth, int root_level,
+                 int stop_level, int max_split_level, int64_t max_points,
+                 uint8_t* leaf_out, uint8_t* final_out) {
     if (n == 0) return;
     // blevel[i]: shallowest level whose prefix differs between codes[i-1]
     // and codes[i]; segment of point i at level l starts at the nearest
@@ -350,7 +356,7 @@ void tree_levels(const uint64_t* codes, int64_t n, int depth,
     // Leaf assignment: DFS over splitting segments (root always splits).
     struct Seg { int64_t s, e; int l; };
     std::vector<Seg> stack;
-    stack.push_back({0, n, 0});
+    stack.push_back({0, n, root_level});
     std::vector<int64_t> level_count(max_split_level + 2, 0);
     while (!stack.empty()) {
         const Seg seg = stack.back();
@@ -371,9 +377,9 @@ void tree_levels(const uint64_t* codes, int64_t n, int depth,
         }
     }
 
-    // LOD promotion, deepest level first.
+    // LOD promotion, deepest level first, stopping at stop_level.
     std::memcpy(final_out, leaf_out, (size_t)n);
-    for (int l = max_split_level; l >= 1; --l) {
+    for (int l = max_split_level; l >= stop_level + 1; --l) {
         if (level_count[l] == 0) continue;
         int64_t rank = 0;
         int64_t promoted = 0;

@@ -452,6 +452,63 @@ def _group_device_levels(
     return out
 
 
+def _group_subtree_levels(
+    codes: np.ndarray,
+    final_levels: np.ndarray,
+    leaf_levels: np.ndarray,
+    depth_cap: int,
+    root_level: int,
+) -> Tuple[Dict[int, _LevelNodes], np.ndarray]:
+    """Subtree variant of _group_device_levels for the out-of-core bucket
+    path: nodes are grouped for levels root_level+1..depth_cap, and the
+    points resting AT root_level (the bucket residual that the caller's top
+    pass continues from) are returned as a separate index array."""
+    from .. import native
+
+    lv_count = depth_cap + 1
+    out = native.group_by_level(final_levels, lv_count)
+    if out is None:
+        order = np.argsort(final_levels, kind="stable").astype(np.int64)
+        starts = np.searchsorted(final_levels[order], np.arange(lv_count + 1))
+        order_final, final_starts = order, starts
+    else:
+        order_final, final_starts = out
+    out = native.group_by_level(leaf_levels, lv_count)
+    if out is None:
+        order = np.argsort(leaf_levels, kind="stable").astype(np.int64)
+        starts = np.searchsorted(leaf_levels[order], np.arange(lv_count + 1))
+        order_leaf, leaf_starts = order, starts
+    else:
+        order_leaf, leaf_starts = out
+
+    node_paths: Dict[int, np.ndarray] = {}
+    carry = np.empty(0, dtype=np.uint64)
+    for level in range(depth_cap, root_level, -1):
+        sel = order_leaf[leaf_starts[level] : leaf_starts[level + 1]]
+        shift = np.uint64(3 * (depth_cap - level))
+        leaf_paths, _ = _sorted_unique_counts(codes[sel] >> shift)
+        node_paths[level] = np.union1d(carry, leaf_paths)
+        carry = np.unique(node_paths[level] >> np.uint64(3))
+
+    grouped: Dict[int, _LevelNodes] = {}
+    for level, paths in node_paths.items():
+        if len(paths) == 0:
+            continue
+        sel = order_final[final_starts[level] : final_starts[level + 1]]
+        prefixes = codes[sel] >> np.uint64(3 * (depth_cap - level))
+        counts = np.zeros(len(paths), dtype=np.int64)
+        occupied, occ_counts = _sorted_unique_counts(prefixes)
+        pos = np.searchsorted(paths, occupied)
+        counts[pos] = occ_counts
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        grouped[level] = _LevelNodes(paths=paths.astype(np.uint64),
+                                     offsets=offsets, idx=sel)
+    residual_idx = order_final[
+        final_starts[root_level] : final_starts[root_level + 1]
+    ]
+    return grouped, residual_idx
+
+
 def _segment_sum_bool(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     cs = np.concatenate([[0], np.cumsum(mask)])
     return cs[offsets[1:]] - cs[offsets[:-1]]

@@ -110,10 +110,15 @@ def child_index_from_cube(cube: Cube, points: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Vectorized (array) forms — levels <= 21 so paths fit in uint64.
+# Vectorized (array) forms.  Single-word u64 paths cover levels <= 21 (the
+# builder's range — 63-bit Morton codes); two-word (hi, lo) u64 pairs cover
+# the FORMAT's full range, level <= 40 with 120-bit paths
+# (reference: src/octree/node.rs:52-56), so reference-built deep trees load,
+# serve, and query.
 
 
 MAX_VECTOR_LEVEL = 21
+MAX_FORMAT_LEVEL = 40  # 120-bit path / 3 bits per level
 
 
 def pack_ids(levels: np.ndarray, paths: np.ndarray) -> list:
@@ -123,35 +128,65 @@ def pack_ids(levels: np.ndarray, paths: np.ndarray) -> list:
     ]
 
 
-def unpack_ids(ids) -> Tuple[np.ndarray, np.ndarray]:
-    """Iterable of NodeId -> (levels uint8, paths uint64). Raises if any
-    level exceeds MAX_VECTOR_LEVEL."""
+def unpack_ids(ids) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Iterable of NodeId -> (levels u8, path_hi u64, path_lo u64), where
+    path = hi << 64 | lo.  Supports the full format range (level <= 40)."""
     levels = np.array([n.level for n in ids], dtype=np.uint8)
-    if len(levels) and levels.max() > MAX_VECTOR_LEVEL:
-        raise ValueError("node level too deep for vectorized form")
-    paths = np.array([n.index for n in ids], dtype=np.uint64)
-    return levels, paths
+    if len(levels) and levels.max() > MAX_FORMAT_LEVEL:
+        raise ValueError(
+            f"node level exceeds the format maximum of {MAX_FORMAT_LEVEL}"
+        )
+    mask64 = (1 << 64) - 1
+    lo = np.array([n.index & mask64 for n in ids], dtype=np.uint64)
+    hi = np.array([n.index >> 64 for n in ids], dtype=np.uint64)
+    return levels, hi, lo
 
 
 def bounding_cubes(levels: np.ndarray, paths: np.ndarray, root: Cube):
-    """Vectorized find_bounding_cube: returns (mins (K, 3) f64, edges (K,) f64).
+    """Vectorized find_bounding_cube over single-word u64 paths (levels <=
+    21, the builder's range): returns (mins (K, 3) f64, edges (K,) f64).
 
     Same root-to-leaf accumulation order as the scalar form, so results are
     bit-identical to it.
     """
+    return bounding_cubes2(
+        levels, np.zeros(len(levels), dtype=np.uint64), paths, root
+    )
+
+
+def bounding_cubes2(
+    levels: np.ndarray, path_hi: np.ndarray, path_lo: np.ndarray, root: Cube
+):
+    """Vectorized find_bounding_cube over two-word (hi, lo) u64 paths —
+    the format's full range (level <= 40, 120-bit paths)."""
     k = len(levels)
     mins = np.broadcast_to(root.min, (k, 3)).copy()
     edges = np.full(k, root.edge_length)
     levels = levels.astype(np.int64)
-    paths = paths.astype(np.uint64)
+    path_hi = path_hi.astype(np.uint64)
+    path_lo = path_lo.astype(np.uint64)
     max_level = int(levels.max()) if k else 0
     # Iterate global depth d = 1..max_level; a node participates while its
     # own level >= d. Child bits are taken from the path's top, root-first.
     for d in range(1, max_level + 1):
         active = levels >= d
         half = np.where(active, edges / 2.0, edges)
-        shift = (3 * (levels - d)).clip(min=0).astype(np.uint64)
-        child = (paths >> shift) & np.uint64(7)
+        shift = (3 * (levels - d)).clip(min=0)
+        # 128-bit right shift by `shift` (0..117), low 3 bits:
+        #   shift >= 64 -> hi >> (shift - 64)
+        #   shift <  64 -> lo >> shift | hi << (64 - shift)   (shift 0 safe:
+        #     the hi part is masked away by & 7 below only when hi bits
+        #     cannot reach — guard with where instead)
+        ge = shift >= 64
+        s_hi = np.where(ge, shift - 64, 0).astype(np.uint64)
+        s_lo = np.where(ge, 0, shift).astype(np.uint64)
+        from_hi = path_hi >> s_hi
+        carry_n = np.where(shift == 0, 0, 64 - shift).clip(min=0).astype(np.uint64)
+        carry = np.where(
+            (shift > 0) & ~ge, path_hi << carry_n, np.uint64(0)
+        )
+        from_lo = (path_lo >> s_lo) | carry
+        child = np.where(ge, from_hi, from_lo) & np.uint64(7)
         bits = np.stack(
             [(child >> np.uint64(2)) & np.uint64(1),
              (child >> np.uint64(1)) & np.uint64(1),

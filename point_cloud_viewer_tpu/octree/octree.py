@@ -30,7 +30,7 @@ from ..core.points_batch import PointsBatch
 from ..io.node_io import DataProvider, OnDiskDataProvider, read_node_batch
 from ..math.geometry import Aabb, Cube
 from ..ops.codec import PositionEncoding
-from .node_id import NodeId, bounding_cubes, unpack_ids
+from .node_id import NodeId, bounding_cubes2, unpack_ids
 
 _CORNER_UNIT = np.array(
     [[x, y, z] for z in (0, 1) for y in (0, 1) for x in (0, 1)], dtype=np.float64
@@ -64,7 +64,9 @@ class Octree:
 
         ids = [NodeId(n.id) for n in meta.octree.nodes]
         self.node_ids = ids
-        self.levels, self.paths = unpack_ids(ids)
+        # Two-word paths: the reader serves the format's FULL level range
+        # (level <= 40, 120-bit paths) even though the builder caps at 21.
+        self.levels, self.path_hi, self.path_lo = unpack_ids(ids)
         self.num_points = np.array(
             [n.num_points for n in meta.octree.nodes], dtype=np.int64
         )
@@ -72,8 +74,8 @@ class Octree:
             PositionEncoding.from_proto(n.position_encoding)
             for n in meta.octree.nodes
         ]
-        self.cube_mins, self.cube_edges = bounding_cubes(
-            self.levels, self.paths, self.root_cube
+        self.cube_mins, self.cube_edges = bounding_cubes2(
+            self.levels, self.path_hi, self.path_lo, self.root_cube
         )
         self._index: Dict[int, int] = {n.value: i for i, n in enumerate(ids)}
 

@@ -73,7 +73,9 @@ class _BucketSpill:
                  v.shape[1] if v.ndim == 2 else 1)
                 for k, v in batch.attributes.items()
             ]
-        order = np.argsort(bucket_ids, kind="stable")
+        # Bucket ids are small ints; the native radix argsort skips the
+        # constant high digits, so this is ~1 counting pass.
+        _, order = morton.argsort_codes(bucket_ids.astype(np.uint64))
         sorted_ids = bucket_ids[order]
         uniq, starts = np.unique(sorted_ids, return_index=True)
         ends = np.append(starts[1:], len(sorted_ids))
@@ -261,19 +263,34 @@ def _build_bucket_subtree(
     codes, order = morton.argsort_codes(codes)
 
     n = len(batch)
-    # Discover splits INSIDE the bucket: start from the bucket node itself.
-    levels = _discover_subtree_levels(
-        codes, n, depth_cap, root_cube.edge_length, resolution,
-        bucket_path, bucket_level,
+    from .. import native
+    from ..core.constants import MAX_POINTS_PER_NODE
+    from .builder import _group_subtree_levels
+
+    out = native.tree_levels(
+        codes, depth_cap, depth_cap, MAX_POINTS_PER_NODE,
+        root_level=bucket_level, stop_level=bucket_level,
     )
-    # Promotion stops AT the bucket level: the bucket root's accumulated
-    # (pre-promotion) list is the residual the top pass continues from.
-    final_nodes = _subsample_bottom_up(levels, stop_level=bucket_level)
-    residual_idx = (
-        final_nodes.pop(bucket_level).idx
-        if bucket_level in final_nodes
-        else np.empty(0, dtype=np.int64)
-    )
+    if out is not None:
+        leaf_lv, final_lv = out
+        final_nodes, residual_idx = _group_subtree_levels(
+            codes, final_lv, leaf_lv, depth_cap, bucket_level
+        )
+    else:
+        # Discover splits INSIDE the bucket: start from the bucket node
+        # itself.
+        levels = _discover_subtree_levels(
+            codes, n, depth_cap, root_cube.edge_length, resolution,
+            bucket_path, bucket_level,
+        )
+        # Promotion stops AT the bucket level: the bucket root's accumulated
+        # (pre-promotion) list is the residual the top pass continues from.
+        final_nodes = _subsample_bottom_up(levels, stop_level=bucket_level)
+        residual_idx = (
+            final_nodes.pop(bucket_level).idx
+            if bucket_level in final_nodes
+            else np.empty(0, dtype=np.int64)
+        )
     nodes = _write_levels(
         output_directory, final_nodes, batch, order, root_cube, resolution
     )
