@@ -299,3 +299,118 @@ def cell_corners_xyz(ids: np.ndarray) -> np.ndarray:
 def average_area_steradians(level: int) -> float:
     """Average cell area at a level (4*pi/6 / 4^level per face cell)."""
     return (4.0 * np.pi / 6.0) / (4.0 ** level)
+
+
+# ---------------------------------------------------------------------------
+# Lat/lng rect covering — the reference's query->cell selection heuristic
+# (src/s2_cells/mod.rs:219-233: corner cells -> CellUnion -> rect_bound ->
+# rect.intersects_cell).  Conservative on both sides: the query rect is
+# padded for great-circle bulge, cell rects for edge bulge; degenerate
+# cases (pole proximity, wide longitude spans) widen to the full interval.
+
+
+def latlng_of(points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, 3) ECEF -> (lat, lng) radians."""
+    points = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    norm = np.linalg.norm(points, axis=1)
+    lat = np.arcsin(np.clip(points[:, 2] / np.maximum(norm, 1e-300), -1.0, 1.0))
+    lng = np.arctan2(points[:, 1], points[:, 0])
+    return lat, lng
+
+
+def _min_lng_interval(lngs: np.ndarray) -> Tuple[float, float, float]:
+    """Minimal CCW interval [lo, hi] (may wrap) covering all lngs; returns
+    (lo, hi, span)."""
+    ls = np.sort(np.asarray(lngs, dtype=np.float64))
+    gaps = np.diff(np.concatenate([ls, ls[:1] + 2.0 * np.pi]))
+    g = int(np.argmax(gaps))
+    span = 2.0 * np.pi - gaps[g]
+    lo = float(ls[(g + 1) % len(ls)])
+    hi = float(ls[g])
+    return lo, hi, float(span)
+
+
+class LatLngRect:
+    """A latitude band x (possibly wrapping) longitude interval."""
+
+    FULL_LNG_SPAN = 2.0 * np.pi
+
+    def __init__(self, lat_lo: float, lat_hi: float, lng_lo: float,
+                 lng_hi: float, full_lng: bool = False) -> None:
+        self.lat_lo = lat_lo
+        self.lat_hi = lat_hi
+        self.lng_lo = lng_lo
+        self.lng_hi = lng_hi
+        self.full_lng = full_lng
+
+    @classmethod
+    def from_points(cls, points: np.ndarray) -> "LatLngRect":
+        """Conservative rect bound of a convex region given its corners:
+        lat padded by the great-circle bulge of the widest chord, full
+        longitude when the span is too wide to bound safely."""
+        lat, lng = latlng_of(points)
+        lat_lo, lat_hi = float(lat.min()), float(lat.max())
+        lo, hi, span = _min_lng_interval(lng)
+        if span > np.pi / 2:
+            return cls(-np.pi / 2, np.pi / 2, -np.pi, np.pi, full_lng=True)
+        # A great-circle arc between two points at the same latitude phi
+        # bulges poleward by <= (span/2)^2 / 2 * tan|phi| + O(span^4).
+        max_abs = max(abs(lat_lo), abs(lat_hi))
+        if max_abs > 1.45:  # within ~7deg of a pole: give up on tightness
+            return cls(-np.pi / 2, np.pi / 2, -np.pi, np.pi, full_lng=True)
+        bulge = (span / 2.0) ** 2 * np.tan(max_abs) * 0.6 + 1e-9
+        return cls(
+            max(lat_lo - bulge, -np.pi / 2), min(lat_hi + bulge, np.pi / 2),
+            lo, hi,
+        )
+
+    def _lng_overlaps(self, lo: np.ndarray, hi: np.ndarray,
+                      full: np.ndarray) -> np.ndarray:
+        """Does [self.lng_lo, self.lng_hi] (CCW, wrapping) overlap each
+        [lo, hi] (CCW, wrapping)?"""
+        if self.full_lng:
+            return np.ones(len(lo), dtype=bool)
+        two_pi = 2.0 * np.pi
+        # Express everything as offsets from self.lng_lo in [0, 2pi).
+        a_hi = (self.lng_hi - self.lng_lo) % two_pi
+        b_lo = (lo - self.lng_lo) % two_pi
+        b_hi = (hi - self.lng_lo) % two_pi
+        wraps = b_hi < b_lo  # other interval crosses self.lng_lo
+        overlap = (b_lo <= a_hi) | wraps | (b_hi <= a_hi)
+        return overlap | full
+
+    def intersects_cells(self, ids: np.ndarray) -> np.ndarray:
+        """(K,) cell ids -> (K,) bool, conservative."""
+        ids = np.asarray(ids, dtype=np.uint64)
+        if len(ids) == 0:
+            return np.zeros(0, dtype=bool)
+        corners = cell_corners_xyz(ids)  # (K, 4, 3)
+        lat, lng = latlng_of(corners.reshape(-1, 3))
+        lat = lat.reshape(-1, 4)
+        lng = lng.reshape(-1, 4)
+        level = level_of(ids).astype(np.float64)
+        edge = np.minimum(1.8 * np.exp2(-level), np.pi)  # max edge angle
+        cell_lat_lo = lat.min(axis=1) - edge
+        cell_lat_hi = lat.max(axis=1) + edge
+        lat_overlap = (cell_lat_lo <= self.lat_hi) & (cell_lat_hi >= self.lat_lo)
+
+        # Cell lng interval: minimal covering interval of the 4 corners,
+        # padded by the edge angle; wide/polar cells widen to full.
+        k = len(ids)
+        lo = np.empty(k)
+        hi = np.empty(k)
+        full = np.zeros(k, dtype=bool)
+        two_pi = 2.0 * np.pi
+        for i in range(k):
+            c_lo, c_hi, span = _min_lng_interval(lng[i])
+            if (
+                span + 2 * edge[i] > np.pi
+                or cell_lat_hi[i] >= np.pi / 2 - 1e-9
+                or cell_lat_lo[i] <= -np.pi / 2 + 1e-9
+            ):
+                full[i] = True
+                lo[i], hi[i] = -np.pi, np.pi
+            else:
+                lo[i] = c_lo - edge[i]
+                hi[i] = c_hi + edge[i]
+        return lat_overlap & self._lng_overlaps(lo, hi, full)

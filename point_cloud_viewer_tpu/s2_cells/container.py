@@ -88,6 +88,17 @@ class S2Cells:
         lo, hi = self._bounds
         corners = _bounds_to_corners(lo, hi)
         mask = location.intersects_aabbs(corners)
+        # Tighten with the reference's rect-bound covering
+        # (src/s2_cells/mod.rs:219-233): the query corners' lat/lng rect
+        # against each cell's rect.  Both filters are conservative, so
+        # their intersection still keeps every truly intersecting cell
+        # while over-fetching strictly less.
+        geometry = getattr(location, "geometry", None)
+        query_corners = getattr(geometry, "corners", None)
+        if query_corners is not None and mask.any():
+            rect = s2.LatLngRect.from_points(query_corners())
+            sel = np.nonzero(mask)[0]
+            mask[sel] &= rect.intersects_cells(self.cell_ids[sel])
         return [S2CellId(c) for c in self.cell_ids[np.nonzero(mask)[0]]]
 
     def points_in_node(

@@ -136,3 +136,54 @@ def test_range_ordering_follows_hilbert_locality():
     parents = s2.parent(ids, 12)
     # Number of distinct parents should be tiny compared to points.
     assert len(np.unique(parents)) < 20
+
+
+def test_latlng_rect_covering_is_conservative_and_tighter():
+    """The rect-bound covering (reference src/s2_cells/mod.rs:219-233) must
+    never drop a cell that contains matching points, and should select
+    fewer cells than the world-AABB filter alone."""
+    import numpy as np
+
+    from point_cloud_viewer_tpu.math import s2
+    from point_cloud_viewer_tpu.math.geometry import Aabb
+    from point_cloud_viewer_tpu.math.wgs84 import local_frame_from_lat_lng
+
+    rng = np.random.default_rng(21)
+    n = 200_000
+    local = (rng.random((n, 3)) - 0.5) * np.array([40000.0, 40000.0, 100.0])
+    frame = local_frame_from_lat_lng(37.4, -122.1)
+    ecef = frame.inverse().transform_points(local)
+    leaves = s2.leaf_cell_ids_from_points(ecef)
+    cells = np.unique(s2.parent(leaves, 12))
+
+    # A small query box in the middle of the cloud.
+    center = ecef[0]
+    box = Aabb(center - 500.0, center + 500.0)
+    inside = box.contains(ecef)
+    needed = np.unique(s2.parent(leaves[inside], 12))  # cells with matches
+
+    rect = s2.LatLngRect.from_points(box.corners())
+    picked = cells[rect.intersects_cells(cells)]
+    # Conservative: every needed cell selected.
+    assert np.isin(needed, picked).all()
+    # Tighter than everything: strictly fewer than the full table.
+    assert len(picked) < len(cells)
+
+
+def test_latlng_rect_wraps_antimeridian():
+    import numpy as np
+
+    from point_cloud_viewer_tpu.math import s2
+
+    # Points straddling lng = +-pi at the equator.
+    lngs = np.array([np.pi - 0.01, -np.pi + 0.01])
+    pts = np.stack([np.cos(lngs), np.sin(lngs), np.zeros(2)], axis=1)
+    rect = s2.LatLngRect.from_points(pts)
+    assert not rect.full_lng
+    # Cells at both sides of the antimeridian intersect; one far away not.
+    near = s2.parent(s2.leaf_cell_ids_from_points(pts), 8)
+    far = s2.parent(
+        s2.leaf_cell_ids_from_points(np.array([[1.0, 0.0, 0.0]])), 8
+    )
+    assert rect.intersects_cells(near).all()
+    assert not rect.intersects_cells(far).any()
