@@ -66,6 +66,112 @@ def diffusion_fill(
     return out
 
 
+def patchmatch_fill(
+    image: np.ndarray,
+    fill_mask: np.ndarray,
+    valid_mask: np.ndarray,
+    patch: int = 7,
+    random_candidates: int = 6,
+    seed: int = 0,
+) -> np.ndarray:
+    """Texture-synthesis hole fill: every hole pixel copies its color from
+    the center of the valid patch that best matches its neighborhood, so
+    textures CONTINUE into the hole instead of smearing.
+
+    The reference fills holes with a texture_synthesis Session
+    (xray/src/inpaint.rs:24-44); this is a deterministic equivalent built
+    from the same ingredients as PatchMatch (Barnes et al., SIGGRAPH 2009):
+    onion-peel ordering (boundary inward, so each pixel is synthesized from
+    already-real texture), coherence candidates (shifted matches of filled
+    neighbors — this carries texture phase into the hole), and a few seeded
+    random candidates to escape local minima."""
+    holes_mask = fill_mask & ~valid_mask
+    out = image.copy()
+    if not holes_mask.any():
+        return out
+    src_pool = np.argwhere(valid_mask)
+    if len(src_pool) == 0:
+        return out
+    h, w = valid_mask.shape
+    rng = np.random.default_rng(seed)
+
+    est = image[:, :, :3].astype(np.float32)
+    filled = valid_mask.copy()
+    # nnf[y, x] = source pixel each filled pixel was copied from (valid
+    # pixels map to themselves).
+    nnf = np.stack(
+        np.meshgrid(np.arange(h), np.arange(w), indexing="ij"), axis=-1
+    )
+
+    pr = patch // 2
+    offs = [(dy, dx) for dy in range(-pr, pr + 1) for dx in range(-pr, pr + 1)]
+    neigh8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+    # Onion-peel rings: distance (in hole pixels) from the valid boundary.
+    dist = ndimage.distance_transform_cdt(~valid_mask, metric="chessboard")
+
+    for ring in range(1, int(dist[holes_mask].max()) + 1):
+        sel = holes_mask & (dist == ring)
+        if not sel.any():
+            continue
+        pix = np.argwhere(sel)
+        m = len(pix)
+        ty, tx = pix[:, 0], pix[:, 1]
+
+        def cost_of(cand):
+            sy = np.clip(cand[:, 0], 0, h - 1)
+            sx = np.clip(cand[:, 1], 0, w - 1)
+            c = np.zeros(m, dtype=np.float32)
+            for dy, dx in offs:
+                tyy = np.clip(ty + dy, 0, h - 1)
+                txx = np.clip(tx + dx, 0, w - 1)
+                syy = np.clip(sy + dy, 0, h - 1)
+                sxx = np.clip(sx + dx, 0, w - 1)
+                wgt = filled[tyy, txx].astype(np.float32)
+                d = est[tyy, txx] - est[syy, sxx]
+                c += wgt * np.einsum("ij,ij->i", d, d)
+                # Prefer sources whose own neighborhood is real texture.
+                c += np.where(valid_mask[syy, sxx], 0.0, 1e3).astype(np.float32)
+            # Source center must be real texture.
+            return np.where(valid_mask[sy, sx], c, np.float32(np.inf))
+
+        best = np.full(m, np.inf, dtype=np.float32)
+        best_src = np.zeros((m, 2), dtype=np.int64)
+
+        def consider(cand):
+            nonlocal best, best_src
+            cand = np.clip(cand, 0, [h - 1, w - 1])
+            c = cost_of(cand)
+            better = c < best
+            best_src[better] = cand[better]
+            best[better] = c[better]
+
+        # Coherence: continue the texture the filled neighbors came from.
+        # Two candidates per neighbor: the phase-preserving shift of the
+        # neighbor's own source (classic coherence), and the neighbor's
+        # source itself (plain boundary extension — for a valid neighbor
+        # the shifted candidate is the hole pixel itself and is rejected,
+        # so this is what lets ring 1 lock onto the boundary texture).
+        for dy, dx in neigh8:
+            ny = np.clip(ty + dy, 0, h - 1)
+            nx = np.clip(tx + dx, 0, w - 1)
+            has = filled[ny, nx]
+            fallback = src_pool[0][None, :]
+            consider(np.where(has[:, None], nnf[ny, nx] - (dy, dx), fallback))
+            consider(np.where(has[:, None], nnf[ny, nx], fallback))
+        # Seeded random exploration.
+        for _ in range(random_candidates):
+            consider(src_pool[rng.integers(0, len(src_pool), m)])
+
+        est[ty, tx] = est[best_src[:, 0], best_src[:, 1]]
+        nnf[ty, tx] = best_src
+        filled[ty, tx] = True
+        out[ty, tx, :3] = image[best_src[:, 0], best_src[:, 1], :3]
+        out[ty, tx, 3] = 255
+
+    return out
+
+
 def inpaint_image(image: np.ndarray, distance_px: int) -> np.ndarray:
     """Fill holes of radius <= distance_px; big open areas stay transparent
     (reference inpaint(), inpaint.rs:24-44)."""
@@ -74,7 +180,7 @@ def inpaint_image(image: np.ndarray, distance_px: int) -> np.ndarray:
     valid = alpha >= 128
     # Pixels that the close filled in = holes small enough to inpaint.
     fill = (closed.astype(np.int16) - alpha.astype(np.int16)) > 0
-    return diffusion_fill(image, fill | valid, valid, iterations=2 * distance_px + 2)
+    return patchmatch_fill(image, fill | valid, valid)
 
 
 class _TileSet:

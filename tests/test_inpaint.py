@@ -84,3 +84,51 @@ def test_cli_inpaint(tmp_path, capsys):
     assert cli.main([d, "--inpaint_distance", "3"]) == 0
     out = np.asarray(Image.open(image_path(d, nid)))
     assert (out[5:8, 5:8, 3] == 255).all()
+
+
+def test_patchmatch_continues_texture_not_smears():
+    """Fill a hole punched into a striped texture: the PatchMatch fill must
+    reconstruct the stripes (low error vs ground truth, high variance),
+    where diffusion smears them into a gradient (VERDICT missing #3)."""
+    import numpy as np
+
+    from point_cloud_viewer_tpu.xray.inpaint import (
+        diffusion_fill, patchmatch_fill,
+    )
+
+    h = w = 96
+    truth = np.zeros((h, w, 4), dtype=np.uint8)
+    truth[..., 3] = 255
+    # 6px vertical stripes, two colors.
+    stripe = ((np.arange(w) // 6) % 2).astype(np.uint8)
+    truth[:, :, 0] = np.where(stripe, 220, 30)[None, :]
+    truth[:, :, 1] = np.where(stripe, 60, 180)[None, :]
+    truth[:, :, 2] = 90
+
+    image = truth.copy()
+    hole = np.zeros((h, w), dtype=bool)
+    hole[40:56, 40:56] = True  # 16x16 hole
+    image[hole] = 0  # transparent
+
+    valid = ~hole
+    fill = np.ones((h, w), dtype=bool)
+
+    pm = patchmatch_fill(image, fill, valid)
+    df = diffusion_fill(image, fill, valid, iterations=40)
+
+    pm_err = np.abs(
+        pm[hole][:, :3].astype(np.int32) - truth[hole][:, :3].astype(np.int32)
+    ).mean()
+    df_err = np.abs(
+        df[hole][:, :3].astype(np.int32) - truth[hole][:, :3].astype(np.int32)
+    ).mean()
+    # Texture continuation: PatchMatch reconstructs the stripes nearly
+    # exactly; diffusion averages the two stripe colors.
+    assert pm_err < 10.0, (pm_err, df_err)
+    assert pm_err < df_err / 3.0, (pm_err, df_err)
+    # And it is actual texture, not a flat average: per-row color variance
+    # inside the hole stays close to the truth's.
+    pm_var = pm[40:56, 40:56, 0].astype(np.float64).var()
+    truth_var = truth[40:56, 40:56, 0].astype(np.float64).var()
+    assert pm_var > truth_var * 0.5, (pm_var, truth_var)
+    assert (pm[hole][:, 3] == 255).all()
