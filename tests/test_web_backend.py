@@ -193,3 +193,50 @@ def test_cli_build_and_query(tmp_path, capsys):
     assert "Streamed 8 points" in capsys.readouterr().out
     rc = cli_upgrade.main([out])
     assert rc == 0
+
+
+def test_client_has_reference_render_controls(served_octree):
+    """The served client carries the reference's render controls and loader
+    discipline (octree_web_viewer/client/main.ts:59-87,
+    octree_viewer.ts:299-368): point size / transparency / gamma /
+    max-level controls, <=50-node batches, <=3 concurrent fetches, 250 ms
+    settle, and the level cap while moving."""
+    import urllib.request
+
+    base, _out = served_octree
+    html = urllib.request.urlopen(f"{base}/").read().decode()
+    for control in ("ctl-size", "ctl-alpha", "ctl-gamma", "ctl-maxlevel"):
+        assert control in html
+    assert "BATCH_SIZE = 50" in html
+    assert "MAX_IN_FLIGHT = 3" in html
+    assert "250" in html  # settle interval
+    assert "maxLevelToDisplay" in html
+    assert "gamma" in html and "alpha" in html
+
+
+def test_nodes_data_batched_posts(served_octree):
+    """Several concurrent <=50-node POSTs (the client's fetch discipline)
+    all round-trip."""
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from point_cloud_viewer_tpu.octree.octree import Octree
+
+    base, out = served_octree
+    tree_id = "mycloud"
+    octree = Octree.from_directory(out)
+    names = [str(n) for n in octree.node_ids]
+    batches = [names[i : i + 50] for i in range(0, len(names), 50)] or [[]]
+
+    def post(batch):
+        req = urllib.request.Request(
+            f"{base}/nodes_data/{tree_id}/",
+            data=json.dumps(batch).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return urllib.request.urlopen(req).read()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        blobs = list(pool.map(post, batches))
+    assert all(len(b) > 0 for b in blobs if b is not None)
