@@ -16,6 +16,11 @@ def main(argv=None) -> int:
     parser.add_argument("--height", type=int, default=720)
     parser.add_argument("--screenshot", default="viewer_frame.png")
     parser.add_argument("--cache_size_mb", type=int, default=2000)
+    parser.add_argument(
+        "--gl", action="store_true",
+        help="Render through the real OpenGL pipeline (surfaceless EGL; "
+        "GLSL shader-side decode) instead of the software rasterizer.",
+    )
     args = parser.parse_args(argv)
 
     from ..viewer.render_loop import run_headless
@@ -26,6 +31,7 @@ def main(argv=None) -> int:
         width=args.width,
         height=args.height,
         screenshot_path=args.screenshot,
+        use_gl=args.gl,
     )
     print(
         f"Final frame: {stats.nodes_drawn}/{stats.visible_nodes} nodes, "

@@ -237,15 +237,24 @@ def run_headless(
     height: int = 600,
     screenshot_path: Optional[str] = None,
     frame_pacing_s: float = 0.01,
+    use_gl: bool = False,
 ) -> FrameStats:
     """Drive the full viewer loop headlessly: orbit the camera around the
     cloud, stream nodes, adapt the budget, and optionally save the final
-    frame.  Returns the last frame's stats."""
+    frame.  Returns the last frame's stats.
+
+    use_gl=True renders through the real OpenGL pipeline (surfaceless EGL,
+    shader-side decode — viewer/gl/) instead of the software rasterizer."""
     octree = Octree.from_directory(octree_directory)
     camera = Camera(width, height)
     center = octree.bounding_box.center()
     diag = float(np.linalg.norm(octree.bounding_box.diag()))
-    renderer = PointCloudRenderer(octree, width=width, height=height)
+    if use_gl:
+        from .gl.viewer import GlPointCloudRenderer
+
+        renderer = GlPointCloudRenderer(octree, width=width, height=height)
+    else:
+        renderer = PointCloudRenderer(octree, width=width, height=height)
     try:
         stats = FrameStats()
         last = time.perf_counter()
