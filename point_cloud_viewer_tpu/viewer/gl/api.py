@@ -56,6 +56,18 @@ GL_RENDERER = 0x1F01
 GL_LEQUAL = 0x0203
 GL_UNSIGNED_INT = 0x1405
 GL_ELEMENT_ARRAY_BUFFER = 0x8893
+GL_TEXTURE_2D = 0x0DE1
+GL_TEXTURE0 = 0x84C0
+GL_TEXTURE_MIN_FILTER = 0x2801
+GL_TEXTURE_MAG_FILTER = 0x2800
+GL_TEXTURE_WRAP_S = 0x2802
+GL_TEXTURE_WRAP_T = 0x2803
+GL_CLAMP_TO_EDGE = 0x812F
+GL_NEAREST = 0x2600
+GL_LINEAR = 0x2601
+GL_R32F = 0x822E
+GL_RED = 0x1903
+GL_UNPACK_ALIGNMENT = 0x0CF5
 
 _lock = threading.Lock()
 _egl: Optional[ctypes.CDLL] = None
@@ -110,6 +122,7 @@ class _GlFns:
         "glGetAttribLocation": (ctypes.c_int, [ctypes.c_uint, ctypes.c_char_p]),
         "glUniform1f": (None, [ctypes.c_int, ctypes.c_float]),
         "glUniform1i": (None, [ctypes.c_int, ctypes.c_int]),
+        "glUniform2f": (None, [ctypes.c_int] + [ctypes.c_float] * 2),
         "glUniform3f": (None, [ctypes.c_int] + [ctypes.c_float] * 3),
         "glUniform4f": (None, [ctypes.c_int] + [ctypes.c_float] * 4),
         "glUniformMatrix4fv": (
@@ -155,6 +168,18 @@ class _GlFns:
             None, [ctypes.c_int, ctypes.POINTER(ctypes.c_uint)]
         ),
         "glCheckFramebufferStatus": (ctypes.c_uint, [ctypes.c_uint]),
+        "glGenTextures": (None, [ctypes.c_int, ctypes.POINTER(ctypes.c_uint)]),
+        "glBindTexture": (None, [ctypes.c_uint, ctypes.c_uint]),
+        "glActiveTexture": (None, [ctypes.c_uint]),
+        "glTexImage2D": (
+            None,
+            [ctypes.c_uint, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+             ctypes.c_int, ctypes.c_int, ctypes.c_uint, ctypes.c_uint,
+             ctypes.c_void_p],
+        ),
+        "glTexParameteri": (None, [ctypes.c_uint, ctypes.c_uint, ctypes.c_int]),
+        "glDeleteTextures": (None, [ctypes.c_int, ctypes.POINTER(ctypes.c_uint)]),
+        "glPixelStorei": (None, [ctypes.c_uint, ctypes.c_int]),
         "glReadPixels": (
             None,
             [ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -203,3 +203,56 @@ def test_gl_viewer_loop_end_to_end(tmp_path):
     # The cloud must actually be visible (not just background).
     bg = img[0, 0]
     assert (np.any(img != bg, axis=-1)).sum() > 500
+
+
+def test_clipmap_mesh_geometry():
+    from point_cloud_viewer_tpu.viewer.gl.terrain import clipmap_mesh
+
+    verts, idx = clipmap_mesh(8)
+    assert verts.shape == (81, 2)
+    assert len(idx) == 8 * 8 * 6
+    assert idx.max() == 80
+    ring_v, ring_idx = clipmap_mesh(8, ring_only=True)
+    # central 4x4 block of quads removed
+    assert len(ring_idx) == (8 * 8 - 4 * 4) * 6
+    # every triangle has nonzero area on the grid
+    tri = verts[idx.reshape(-1, 3)]
+    area = np.abs(np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]))
+    assert (area > 0).all()
+
+
+def test_terrain_clipmap_renders(tmp_path, renderer):
+    """The GL clipmap draws a red-colored flat terrain tile set: pixels in
+    the lower half of the frame take the terrain color."""
+    from point_cloud_viewer_tpu.viewer.gl.terrain import TerrainDrawerGL
+    from point_cloud_viewer_tpu.viewer.terrain import (
+        TerrainLayer, TerrainMetadata, tile_path,
+    )
+
+    d = str(tmp_path)
+    ts = 16
+    meta = TerrainMetadata(
+        tile_size=ts, world_origin_x=0.0, world_origin_y=0.0, resolution_m=1.0
+    )
+    meta.save(d)
+    for tx in range(8):
+        for ty in range(8):
+            np.full((ts, ts), 2.0, dtype="<f4").tofile(
+                tile_path(d, tx, ty, "height")
+            )
+            c = np.zeros((ts, ts, 4), dtype=np.uint8)
+            c[..., 0] = 200  # red terrain
+            c[..., 3] = 255
+            c.tofile(tile_path(d, tx, ty, "color"))
+
+    layer = TerrainLayer(d, window_size=64)
+    drawer = TerrainDrawerGL(renderer.ctx, layer, num_levels=3, grid_size=31)
+
+    center = np.array([64.0, 64.0, 2.0])
+    eye = center + np.array([0.0, -30.0, 25.0])
+    clip = _look_at_clip(eye, center)
+    renderer.begin_frame()
+    drawer.draw(clip, camera_xy=(center[0], center[1]))
+    img = renderer.read_frame()
+    reds = (img[:, :, 0] > 120) & (img[:, :, 1] < 80)
+    assert reds.sum() > 1000, reds.sum()
