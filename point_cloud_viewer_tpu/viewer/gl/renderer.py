@@ -44,7 +44,13 @@ class GlContext:
         self.fbo.bind()
         self.gl.glEnable(GL_PROGRAM_POINT_SIZE)
 
+    def make_current(self) -> None:
+        """Re-bind this context on the calling thread (multiple contexts
+        may coexist in one process; GL currency is per thread)."""
+        self.egl.eglMakeCurrent(self.display, None, None, self.context)
+
     def resize(self, width: int, height: int) -> None:
+        self.make_current()
         if (width, height) != (self.fbo.width, self.fbo.height):
             self.fbo.destroy()
             self.fbo = GlFramebuffer(self.gl, width, height)
@@ -68,6 +74,7 @@ class NodeBufferGL:
                  encoded_positions: np.ndarray, colors: np.ndarray,
                  encoding: PositionEncoding, cube_min: np.ndarray,
                  edge_length: float) -> None:
+        ctx.make_current()
         gl = ctx.gl
         self.count = len(encoded_positions)
         self.encoding = encoding
@@ -137,6 +144,7 @@ class PointsRendererGL:
 
     def begin_frame(self) -> None:
         gl = self.ctx.gl
+        self.ctx.make_current()
         self.ctx.fbo.bind()
         gl.glClearColor(*self.background)
         gl.glClear(GL_COLOR_BUFFER_BIT | GL_DEPTH_BUFFER_BIT)

@@ -114,6 +114,7 @@ class TerrainDrawerGL:
         self.layer = layer
         self.num_levels = num_levels
         self.grid_size = grid_size
+        ctx.make_current()
         gl = ctx.gl
         self.program = GlProgram(
             gl, load_shader("terrain.vs"), load_shader("terrain.fs")
