@@ -116,12 +116,13 @@ def _configure(h: ctypes.CDLL) -> None:
     h.cull_lod_select.argtypes = [
         POINTER(c_float), POINTER(c_float), POINTER(c_float), POINTER(c_float),
         c_int64, POINTER(c_float), POINTER(c_float), POINTER(ctypes.c_int32),
-        c_int64, POINTER(ctypes.c_int32), POINTER(c_float), POINTER(c_uint8),
+        c_int64, c_int64, POINTER(ctypes.c_int32), POINTER(c_float),
+        POINTER(c_uint8),
     ]
     h.cull_lod_select_f64.argtypes = [
         POINTER(c_double), POINTER(c_double), POINTER(c_double),
         POINTER(c_double), c_int64, POINTER(c_double), POINTER(c_double),
-        POINTER(ctypes.c_int32), c_int64, POINTER(ctypes.c_int32),
+        POINTER(ctypes.c_int32), c_int64, c_int64, POINTER(ctypes.c_int32),
         POINTER(c_double), POINTER(c_uint8),
     ]
     h.group_by_level.argtypes = [
@@ -250,10 +251,12 @@ def tree_levels(
 def cull_lod_select(
     matrix: np.ndarray, axes: np.ndarray, qmin: np.ndarray, qmax: np.ndarray,
     node_min: np.ndarray, edge: np.ndarray, num_points: np.ndarray,
-    dtype=np.float32,
+    dtype=np.float32, max_out: int = 0,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Host frustum cull + LOD select -> (order i32, sizes, visible bool),
-    or None if the library is unavailable.  dtype: float32 or float64."""
+    or None if the library is unavailable.  dtype: float32 or float64.
+    max_out > 0: only the first max_out entries of `order` are sorted
+    (top-K partial sort — viewers draw a bounded node budget)."""
     h = lib()
     if h is None:
         return None
@@ -275,7 +278,7 @@ def cull_lod_select(
         _ptr(matrix, ctype), _ptr(axes, ctype),
         _ptr(qmin, ctype), _ptr(qmax, ctype), len(axes),
         _ptr(node_min, ctype), _ptr(edge, ctype),
-        _ptr(num_points, ctypes.c_int32), k,
+        _ptr(num_points, ctypes.c_int32), k, int(max_out),
         _ptr(order, ctypes.c_int32), _ptr(sizes, ctype),
         _ptr(visible, ctypes.c_uint8),
     )

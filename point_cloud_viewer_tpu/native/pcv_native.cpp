@@ -427,7 +427,8 @@ template <typename F>
 static void cull_lod_select_impl(const F* matrix, const F* axes, const F* qmin,
                                  const F* qmax, int64_t a, const F* node_min,
                                  const F* edge, const int32_t* num_points,
-                                 int64_t k, int32_t* order_out, F* sizes_out,
+                                 int64_t k, int64_t max_out,
+                                 int32_t* order_out, F* sizes_out,
                                  uint8_t* visible_out) {
     std::vector<F> priority(k);
     for (int64_t i = 0; i < k; ++i) {
@@ -478,9 +479,16 @@ static void cull_lod_select_impl(const F* matrix, const F* axes, const F* qmin,
         priority[i] = vis ? size : std::numeric_limits<F>::lowest();
     }
     for (int64_t i = 0; i < k; ++i) order_out[i] = (int32_t)i;
-    std::stable_sort(order_out, order_out + k, [&](int32_t x, int32_t y) {
+    const auto cmp = [&](int32_t x, int32_t y) {
         return priority[x] > priority[y];
-    });
+    };
+    if (max_out > 0 && max_out < k) {
+        // Viewers draw at most a node budget per frame: a top-K partial
+        // sort is O(N log K) instead of a full O(N log N) ordering.
+        std::partial_sort(order_out, order_out + max_out, order_out + k, cmp);
+    } else {
+        std::stable_sort(order_out, order_out + k, cmp);
+    }
 }
 
 extern "C" {
@@ -488,10 +496,10 @@ extern "C" {
 void cull_lod_select(const float* matrix, const float* axes, const float* qmin,
                      const float* qmax, int64_t a, const float* node_min,
                      const float* edge, const int32_t* num_points, int64_t k,
-                     int32_t* order_out, float* sizes_out,
+                     int64_t max_out, int32_t* order_out, float* sizes_out,
                      uint8_t* visible_out) {
     cull_lod_select_impl<float>(matrix, axes, qmin, qmax, a, node_min, edge,
-                                num_points, k, order_out, sizes_out,
+                                num_points, k, max_out, order_out, sizes_out,
                                 visible_out);
 }
 
@@ -499,10 +507,10 @@ void cull_lod_select_f64(const double* matrix, const double* axes,
                          const double* qmin, const double* qmax, int64_t a,
                          const double* node_min, const double* edge,
                          const int32_t* num_points, int64_t k,
-                         int32_t* order_out, double* sizes_out,
-                         uint8_t* visible_out) {
+                         int64_t max_out, int32_t* order_out,
+                         double* sizes_out, uint8_t* visible_out) {
     cull_lod_select_impl<double>(matrix, axes, qmin, qmax, a, node_min, edge,
-                                 num_points, k, order_out, sizes_out,
+                                 num_points, k, max_out, order_out, sizes_out,
                                  visible_out);
 }
 

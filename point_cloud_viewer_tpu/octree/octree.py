@@ -106,21 +106,27 @@ class Octree:
 
     # -- traversal -----------------------------------------------------------
 
-    def get_visible_nodes(self, projection_matrix: np.ndarray) -> List[NodeId]:
+    def get_visible_nodes(
+        self, projection_matrix: np.ndarray, max_nodes: Optional[int] = None
+    ) -> List[NodeId]:
         """Nodes whose cube intersects the frustum of `projection_matrix`
         (4x4, clip_from_query), largest projected screen size first; empty
         nodes are traversed but not returned (reference:
-        src/octree/mod.rs:228-283)."""
+        src/octree/mod.rs:228-283).  max_nodes bounds the result (top-K by
+        screen size — the viewer's node budget)."""
         from ..math.geometry import Frustum
 
-        order, _ = self.visible_nodes_with_sizes(Frustum.from_matrix4(projection_matrix))
+        order, _ = self.visible_nodes_with_sizes(
+            Frustum.from_matrix4(projection_matrix), max_nodes=max_nodes
+        )
         return [self.node_ids[i] for i in order]
 
-    def visible_nodes_with_sizes(self, frustum) -> tuple:
+    def visible_nodes_with_sizes(self, frustum, max_nodes: Optional[int] = None) -> tuple:
         """Returns (indices ordered by size desc, sizes) of visible nodes.
 
         Native single-pass kernel when available (corners are expanded on
-        the fly — no (K, 8, 3) materialization, which matters at ~1M-node
+        the fly — no (K, 8, 3) materialization, and with max_nodes a top-K
+        partial sort replaces the full ordering — both matter at ~1M-node
         scale); vectorized-numpy fallback below."""
         from .. import native
 
@@ -131,10 +137,13 @@ class Octree:
             proj.min(axis=0), proj.max(axis=0),
             self.cube_mins, self.cube_edges,
             self.num_points, dtype=np.float64,
+            max_out=max_nodes or 0,
         )
         if out is not None:
             order, sizes, visible = out
             count = int(visible.sum())
+            if max_nodes is not None:
+                count = min(count, max_nodes)
             order = order[:count]
             return order, sizes[order]
 
@@ -146,6 +155,8 @@ class Octree:
         visible = (relation != REL_OUT) & (self.num_points > 0)
         idx = np.nonzero(visible)[0]
         order = idx[np.argsort(-sizes[idx], kind="stable")]
+        if max_nodes is not None:
+            order = order[:max_nodes]
         return order, sizes[order]
 
     def nodes_in_location(self, location) -> List[NodeId]:

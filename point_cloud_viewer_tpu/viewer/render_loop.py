@@ -156,7 +156,11 @@ class PointCloudRenderer:
                     matrix = self._matrix_queue.get_nowait()
                 except queue.Empty:
                     break
-            visible = self.octree.get_visible_nodes(matrix)
+            # Cap at the node-cache capacity: nothing beyond it can be
+            # drawn, and the top-K cull is much cheaper at ~1M-node scale.
+            visible = self.octree.get_visible_nodes(
+                matrix, max_nodes=self.node_views.max_nodes
+            )
             with self._visible_lock:
                 self._visible = visible
 

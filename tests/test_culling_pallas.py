@@ -89,3 +89,41 @@ def test_host_cull_matches_device():
     np.testing.assert_allclose(
         pr[np.asarray(d_order)], pr[h_order], rtol=2e-5, atol=2e-6
     )
+
+
+def test_topk_cull_matches_full_sort_prefix():
+    """max_out top-K culling returns the same top-K set (by priority) as
+    the full sort."""
+    import numpy as np
+
+    from point_cloud_viewer_tpu import native
+    from point_cloud_viewer_tpu.math.geometry import (
+        Frustum, Isometry, Perspective,
+    )
+    from point_cloud_viewer_tpu.ops.culling import frustum_axes_and_projections
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(17)
+    k = 50_000
+    edges = (100.0 / np.exp2(rng.integers(0, 9, k))).astype(np.float64)
+    mins = rng.random((k, 3)) * 100.0
+    num_points = rng.integers(0, 1000, k).astype(np.int32)
+    eye = Isometry.from_axis_angle([0, 1, 0], 0.3, translation=[50.0, 50.0, 180.0])
+    fr = Frustum.new(eye, Perspective.from_fov(1.3, 1.2, 0.5, 500.0))
+    axes, qmin, qmax = frustum_axes_and_projections(fr)
+    m = fr.clip_from_query
+
+    full_order, sizes, visible = native.cull_lod_select(
+        m, axes, qmin, qmax, mins, edges, num_points, dtype=np.float64
+    )
+    top_order, top_sizes, top_visible = native.cull_lod_select(
+        m, axes, qmin, qmax, mins, edges, num_points, dtype=np.float64,
+        max_out=500,
+    )
+    np.testing.assert_array_equal(visible, top_visible)
+    pr = np.where(visible, sizes, -np.inf)
+    # Same priorities in the same order over the top K.
+    np.testing.assert_allclose(pr[top_order[:500]], pr[full_order[:500]])
