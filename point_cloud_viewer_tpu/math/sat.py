@@ -82,6 +82,22 @@ class CachedAxes:
         rel = sat_relation(self.axes, self.corners, corners[None, ...] if single else corners)
         return int(rel[0]) if single else rel
 
+    def intersect_bounds(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """SAT relations for AXIS-ALIGNED boxes given as (N, 3) lo/hi pairs,
+        without materializing (N, 8, 3) corners: the projection interval of
+        a box onto axis a is [lo@max(a,0) + hi@min(a,0),
+        lo@min(a,0) + hi@max(a,0)] — O(N*A) memory instead of O(N*8*3)."""
+        pos = np.maximum(self.axes, 0.0)  # (A, 3)
+        neg = np.minimum(self.axes, 0.0)
+        b_min = lo @ pos.T + hi @ neg.T  # (N, A)
+        b_max = lo @ neg.T + hi @ pos.T
+        proj_a = self.corners @ self.axes.T
+        a_min = proj_a.min(axis=0)
+        a_max = proj_a.max(axis=0)
+        out = np.any((b_min > a_max) | (b_max < a_min), axis=1)
+        cross = np.any((a_min > b_min) | (b_max > a_max), axis=1)
+        return np.where(out, REL_OUT, np.where(cross, REL_CROSS, REL_IN)).astype(np.int8)
+
 
 def dedup_axes(axes: np.ndarray, eps: float = 2.220446049250313e-16) -> np.ndarray:
     """Drop axes that duplicate an earlier one up to sign

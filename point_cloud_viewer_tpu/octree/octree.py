@@ -162,7 +162,12 @@ class Octree:
     def nodes_in_location(self, location) -> List[NodeId]:
         """All nodes whose AABB intersects the query location (a
         query.location.PointLocation)."""
-        mask = location.intersects_aabbs(self.node_corners())
+        if hasattr(location, "intersects_bounds"):
+            mask = location.intersects_bounds(
+                self.cube_mins, self.cube_mins + self.cube_edges[:, None]
+            )
+        else:
+            mask = location.intersects_aabbs(self.node_corners())
         return [self.node_ids[i] for i in np.nonzero(mask)[0]]
 
     # -- point access --------------------------------------------------------

@@ -34,6 +34,9 @@ class AllPoints:
     def intersects_aabbs(self, corners: np.ndarray) -> np.ndarray:
         return np.ones(len(corners), dtype=bool)
 
+    def intersects_bounds(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        return np.ones(len(lo), dtype=bool)
+
 
 class GeometryLocation:
     """Adapter for convex-polyhedron geometries (Aabb/Obb/Frustum/
@@ -46,10 +49,18 @@ class GeometryLocation:
     def contains(self, points: np.ndarray) -> np.ndarray:
         return self.geometry.contains(points)
 
-    def intersects_aabbs(self, corners: np.ndarray) -> np.ndarray:
+    def _axes(self):
         if self._cached_axes is None:
             self._cached_axes = self.geometry.intersector().cached_axes_for_aabb()
-        return self._cached_axes.intersect(corners) != REL_OUT
+        return self._cached_axes
+
+    def intersects_aabbs(self, corners: np.ndarray) -> np.ndarray:
+        return self._axes().intersect(corners) != REL_OUT
+
+    def intersects_bounds(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """AABBs as (N, 3) lo/hi — no corner materialization (matters at
+        ~1M-node scale)."""
+        return self._axes().intersect_bounds(lo, hi) != REL_OUT
 
 
 def location_for(geometry) -> PointLocation:

@@ -54,11 +54,13 @@ class CellUnion:
 
     def intersects_aabbs(self, corners: np.ndarray) -> np.ndarray:
         """(K, 8, 3) AABB corner sets -> (K,) bool, conservative."""
+        return self.intersects_bounds(corners.min(axis=1), corners.max(axis=1))
+
+    def intersects_bounds(self, box_lo: np.ndarray, box_hi: np.ndarray) -> np.ndarray:
+        """AABBs as (K, 3) lo/hi pairs -> (K,) bool, conservative."""
         if len(self.ids) == 0:
-            return np.zeros(len(corners), dtype=bool)
+            return np.zeros(len(box_lo), dtype=bool)
         cell_lo, cell_hi = cell_world_bounds(self.ids)
-        box_lo = corners.min(axis=1)  # (K, 3)
-        box_hi = corners.max(axis=1)
         # Overlap of each box with ANY cell bound.
         overlap = np.all(
             (box_lo[:, None, :] <= cell_hi[None, :, :])

@@ -86,8 +86,10 @@ class S2Cells:
                 mask |= s2.contains(self.cell_ids, np.uint64(qid) * np.ones_like(self.cell_ids))
             return [S2CellId(c) for c in self.cell_ids[mask]]
         lo, hi = self._bounds
-        corners = _bounds_to_corners(lo, hi)
-        mask = location.intersects_aabbs(corners)
+        if hasattr(location, "intersects_bounds"):
+            mask = location.intersects_bounds(lo, hi)
+        else:
+            mask = location.intersects_aabbs(_bounds_to_corners(lo, hi))
         # Tighten with the reference's rect-bound covering
         # (src/s2_cells/mod.rs:219-233): the query corners' lat/lng rect
         # against each cell's rect.  Both filters are conservative, so

@@ -149,3 +149,42 @@ def test_web_mercator_rect_wraparound_validation():
     assert WebMercatorRect.from_zoomed_coordinates([255.5, 128.0], [0.5, 128.8], 0) is not None
     assert WebMercatorRect.from_zoomed_coordinates([255.5, 128.0], [1.5, 128.8], 0) is None
     assert WebMercatorRect.from_zoomed_coordinates([128.8, 255.5], [128.8, 0.5], 0) is None
+
+
+def test_intersect_bounds_matches_corner_path():
+    """The AABB lo/hi fast path must agree with the corner-based SAT for
+    every geometry variant."""
+    import numpy as np
+
+    from point_cloud_viewer_tpu.math.geometry import (
+        Aabb, Frustum, Isometry, Obb, Perspective,
+    )
+    from point_cloud_viewer_tpu.query.location import location_for
+
+    rng = np.random.default_rng(31)
+    k = 5000
+    lo = rng.random((k, 3)) * 100.0
+    hi = lo + rng.random((k, 3)) * 8.0
+    unit = np.array(
+        [[x, y, z] for z in (0, 1) for y in (0, 1) for x in (0, 1)],
+        dtype=np.float64,
+    )
+    corners = lo[:, None, :] + unit[None] * (hi - lo)[:, None, :]
+
+    geoms = [
+        Aabb(np.array([30.0, 30.0, 30.0]), np.array([70.0, 60.0, 50.0])),
+        Obb(Isometry.from_axis_angle([0.3, 0.5, 0.8], 0.7,
+                                     translation=[50.0, 50.0, 50.0]),
+            [20.0, 15.0, 10.0]),
+        Frustum.new(
+            Isometry.from_axis_angle([0, 1, 0], 0.4,
+                                     translation=[50.0, 50.0, 150.0]),
+            Perspective.from_fov(1.2, 1.0, 1.0, 200.0),
+        ),
+    ]
+    for geom in geoms:
+        loc = location_for(geom)
+        np.testing.assert_array_equal(
+            loc.intersects_bounds(lo, hi), loc.intersects_aabbs(corners),
+            err_msg=str(type(geom)),
+        )
