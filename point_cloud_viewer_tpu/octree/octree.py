@@ -30,11 +30,14 @@ from ..core.points_batch import PointsBatch
 from ..io.node_io import DataProvider, OnDiskDataProvider, read_node_batch
 from ..math.geometry import Aabb, Cube
 from ..ops.codec import PositionEncoding
-from .node_id import NodeId, bounding_cubes2, unpack_ids
+from .node_id import NodeId, bounding_cubes, bounding_cubes2, unpack_ids
 
 _CORNER_UNIT = np.array(
     [[x, y, z] for z in (0, 1) for y in (0, 1) for x in (0, 1)], dtype=np.float64
 )  # (8, 3)
+
+_COARSE_LEVEL = 5  # <= 8^5 = 32768 ancestor cells in the coarse pass
+_HIER_THRESHOLD = 100_000  # node count above which the coarse index builds
 
 
 @dataclass
@@ -78,10 +81,50 @@ class Octree:
             self.levels, self.path_hi, self.path_lo, self.root_cube
         )
         self._index: Dict[int, int] = {n.value: i for i, n in enumerate(ids)}
+        # Hierarchical cull index for very large node tables: group nodes
+        # under their level-_COARSE_LEVEL ancestor so a frame first culls
+        # the (few) ancestor cubes and only then their members — exact, not
+        # heuristic: a node's cube is contained in its ancestor's, so a
+        # separated ancestor implies every member is separated too (the
+        # flat-array analogue of the reference's top-down traversal,
+        # src/octree/mod.rs:228-283).
+        self._coarse = None
+        if len(ids) >= _HIER_THRESHOLD:
+            self._build_coarse_index()
 
     @classmethod
     def from_directory(cls, directory: str) -> "Octree":
         return cls(OnDiskDataProvider(directory))
+
+    def _build_coarse_index(self) -> None:
+        lc = _COARSE_LEVEL
+        lv = self.levels.astype(np.int64)
+        deep = lv >= lc
+        # Level-lc ancestor prefix from the two-word path.
+        shift = (3 * (lv - lc)).clip(min=0)
+        ge = shift >= 64
+        s_hi = np.where(ge, shift - 64, 0).astype(np.uint64)
+        s_lo = np.where(ge, 0, shift).astype(np.uint64)
+        carry_n = np.where(shift == 0, 0, 64 - shift).clip(min=0).astype(np.uint64)
+        carry = np.where((shift > 0) & ~ge, self.path_hi << carry_n, np.uint64(0))
+        pref = np.where(ge, self.path_hi >> s_hi, (self.path_lo >> s_lo) | carry)
+
+        deep_idx = np.nonzero(deep)[0]
+        order = np.argsort(pref[deep_idx], kind="stable")
+        member_idx = deep_idx[order].astype(np.int64)
+        sorted_pref = pref[deep_idx][order]
+        upaths, starts = np.unique(sorted_pref, return_index=True)
+        offsets = np.append(starts, len(member_idx)).astype(np.int64)
+        coarse_mins, coarse_edges = bounding_cubes(
+            np.full(len(upaths), lc, dtype=np.uint8), upaths, self.root_cube
+        )
+        self._coarse = {
+            "mins": coarse_mins,
+            "edges": coarse_edges,
+            "offsets": offsets,
+            "member_idx": member_idx,
+            "shallow_idx": np.nonzero(~deep)[0].astype(np.int64),
+        }
 
     def __len__(self) -> int:
         return len(self.node_ids)
@@ -132,9 +175,48 @@ class Octree:
 
         cached = frustum.intersector().cached_axes_for_aabb()
         proj = cached.corners @ cached.axes.T  # (8, A)
+        qmin, qmax = proj.min(axis=0), proj.max(axis=0)
+
+        if self._coarse is not None and native.available():
+            # Phase 1: cull the level-_COARSE_LEVEL ancestor cells (exact:
+            # members are geometrically contained in their ancestor cube).
+            c = self._coarse
+            cell_out = native.cull_lod_select(
+                frustum.clip_from_query, cached.axes, qmin, qmax,
+                c["mins"], c["edges"],
+                np.ones(len(c["edges"]), dtype=np.int32), dtype=np.float64,
+                max_out=1,  # ordering is irrelevant here
+            )
+            if cell_out is not None:
+                _, _, cell_vis = cell_out
+                sel_cells = np.flatnonzero(cell_vis)
+                offs = c["offsets"]
+                ranges = np.stack(
+                    [offs[sel_cells], offs[sel_cells + 1]], axis=1
+                )
+                from .builder import _ranges_to_indices
+
+                member_pos = _ranges_to_indices(ranges)
+                subset = np.concatenate(
+                    [c["shallow_idx"], c["member_idx"][member_pos]]
+                )
+                # Phase 2: full cull + LOD priority over the survivors only.
+                out = native.cull_lod_select(
+                    frustum.clip_from_query, cached.axes, qmin, qmax,
+                    self.cube_mins[subset], self.cube_edges[subset],
+                    self.num_points[subset], dtype=np.float64,
+                    max_out=max_nodes or 0,
+                )
+                if out is not None:
+                    order_s, sizes_s, visible_s = out
+                    count = int(visible_s.sum())
+                    if max_nodes is not None:
+                        count = min(count, max_nodes)
+                    order_s = order_s[:count]
+                    return subset[order_s], sizes_s[order_s]
+
         out = native.cull_lod_select(
-            frustum.clip_from_query, cached.axes,
-            proj.min(axis=0), proj.max(axis=0),
+            frustum.clip_from_query, cached.axes, qmin, qmax,
             self.cube_mins, self.cube_edges,
             self.num_points, dtype=np.float64,
             max_out=max_nodes or 0,

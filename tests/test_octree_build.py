@@ -216,3 +216,75 @@ def test_empty_and_single_point(tmp_path):
     octree = Octree.from_directory(out2)
     # The single point is promoted to the root; its leaf is recorded empty.
     assert octree.node_meta(NodeId.root()).num_points == 1
+
+
+def test_hierarchical_cull_matches_flat(tmp_path):
+    """Above _HIER_THRESHOLD nodes the container culls coarse ancestor
+    cells first; the result (visible set + priority order) must equal the
+    flat single-pass cull exactly."""
+    import os
+
+    import numpy as np
+
+    from point_cloud_viewer_tpu.core.constants import CURRENT_VERSION
+    from point_cloud_viewer_tpu.math.geometry import (
+        Frustum, Isometry, Perspective,
+    )
+    from point_cloud_viewer_tpu.octree.node_id import NodeId
+    from point_cloud_viewer_tpu.octree.octree import Octree
+    from point_cloud_viewer_tpu.protos.meta import (
+        BoundingBoxProto, MetaProto, OctreeMetaProto, OctreeNodeProto,
+        PositionEncodingProto,
+    )
+
+    rng = np.random.default_rng(5)
+    n_nodes = 120_000
+    ids = set()
+    # Random deep nodes at levels 6-9 plus a handful of shallow ones.
+    for lvl in (0, 1, 2, 3):
+        path = 0
+        for _ in range(lvl):
+            path = (path << 3) | int(rng.integers(0, 8))
+        ids.add((lvl, path))
+    while len(ids) < n_nodes:
+        lvl = int(rng.integers(6, 10))
+        path = int(rng.integers(0, 8 ** lvl))
+        ids.add((lvl, path))
+    nodes = [
+        OctreeNodeProto(
+            id=NodeId.from_level_index(lvl, path).value,
+            num_points=int(rng.integers(0, 100)),
+            position_encoding=PositionEncodingProto.UINT16,
+        )
+        for lvl, path in sorted(ids)
+    ]
+    meta = MetaProto(
+        version=CURRENT_VERSION,
+        bounding_box=BoundingBoxProto(min=(0.0, 0.0, 0.0),
+                                      max=(128.0, 128.0, 128.0)),
+        octree=OctreeMetaProto(resolution=0.001, nodes=nodes),
+    )
+    d = str(tmp_path / "big")
+    os.makedirs(d)
+    with open(os.path.join(d, "meta.pb"), "wb") as f:
+        f.write(meta.encode())
+
+    octree = Octree.from_directory(d)
+    assert octree._coarse is not None
+
+    eye = Isometry.from_axis_angle([0, 1, 0], 0.35,
+                                   translation=[64.0, 50.0, 300.0])
+    frustum = Frustum.new(eye, Perspective.from_fov(1.2, 1.0, 1.0, 260.0))
+
+    hier_order, hier_sizes = octree.visible_nodes_with_sizes(frustum)
+    octree._coarse = None  # force the flat path
+    flat_order, flat_sizes = octree.visible_nodes_with_sizes(frustum)
+
+    assert set(hier_order.tolist()) == set(flat_order.tolist())
+    # Priority sequences match (index permutations may differ on ties).
+    np.testing.assert_allclose(hier_sizes, flat_sizes, rtol=1e-12)
+
+    # top-K also agrees through the hierarchy.
+    octree._build_coarse_index()
+    top_order, top_sizes = octree.visible_nodes_with_sizes(frustum, max_nodes=50)
+    np.testing.assert_allclose(top_sizes, flat_sizes[:50], rtol=1e-12)
