@@ -35,6 +35,9 @@ class HttpDataProvider(DataProvider):
     def meta_proto(self) -> MetaProto:
         return MetaProto.decode(self._fetch("meta.pb"))
 
+    def meta_bytes(self) -> bytes:
+        return self._fetch("meta.pb")
+
     def data(self, node_name: str, attributes: Iterable[str]) -> Dict[str, bytes]:
         from ..core.attributes import attribute_extension
 

@@ -31,6 +31,10 @@ class DataProvider:
     def meta_proto(self) -> MetaProto:
         raise NotImplementedError
 
+    def meta_bytes(self):
+        """Raw meta.pb bytes, or None — enables the native fast parser."""
+        return None
+
     def data(self, node_name: str, attributes: Iterable[str]) -> Dict[str, bytes]:
         raise NotImplementedError
 
@@ -47,8 +51,11 @@ class OnDiskDataProvider(DataProvider):
         return os.path.join(self.directory, node_name)
 
     def meta_proto(self) -> MetaProto:
+        return MetaProto.decode(self.meta_bytes())
+
+    def meta_bytes(self) -> bytes:
         with open(os.path.join(self.directory, META_FILENAME), "rb") as f:
-            return MetaProto.decode(f.read())
+            return f.read()
 
     def data(self, node_name: str, attributes: Iterable[str]) -> Dict[str, bytes]:
         out = {}

@@ -125,6 +125,12 @@ def _configure(h: ctypes.CDLL) -> None:
         POINTER(ctypes.c_int32), c_int64, c_int64, POINTER(ctypes.c_int32),
         POINTER(c_double), POINTER(c_uint8),
     ]
+    h.parse_octree_meta.restype = c_int64
+    h.parse_octree_meta.argtypes = [
+        ctypes.c_char_p, c_int64, POINTER(ctypes.c_int32), POINTER(c_double),
+        POINTER(c_double), c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     h.group_by_level.argtypes = [
         POINTER(c_uint8), c_int64, ctypes.c_int, POINTER(c_int64),
         POINTER(c_int64),
@@ -283,6 +289,43 @@ def cull_lod_select(
         _ptr(visible, ctypes.c_uint8),
     )
     return order, sizes, visible.astype(bool)
+
+
+def parse_octree_meta(data: bytes):
+    """Fast path for current-layout octree meta.pb: returns
+    (version, bbox (6,) f64, resolution, id_hi u64, id_lo u64,
+    num_points i64, encoding u8) or None (unsupported layout / no lib) —
+    the caller falls back to the Python decoder."""
+    h = lib()
+    if h is None:
+        return None
+    version = ctypes.c_int32(0)
+    bbox = (ctypes.c_double * 6)()
+    resolution = ctypes.c_double(0.0)
+    n = h.parse_octree_meta(
+        data, len(data), ctypes.byref(version), bbox,
+        ctypes.byref(resolution), 0, None, None, None, None,
+    )
+    if n < 0:
+        return None
+    id_hi = np.empty(n, dtype=np.uint64)
+    id_lo = np.empty(n, dtype=np.uint64)
+    num_points = np.empty(n, dtype=np.int64)
+    encoding = np.empty(n, dtype=np.uint8)
+    n2 = h.parse_octree_meta(
+        data, len(data), ctypes.byref(version), bbox,
+        ctypes.byref(resolution), n,
+        id_hi.ctypes.data_as(ctypes.c_void_p),
+        id_lo.ctypes.data_as(ctypes.c_void_p),
+        num_points.ctypes.data_as(ctypes.c_void_p),
+        encoding.ctypes.data_as(ctypes.c_void_p),
+    )
+    if n2 != n:
+        return None
+    return (
+        int(version.value), np.array(bbox[:6]), float(resolution.value),
+        id_hi, id_lo, num_points, encoding,
+    )
 
 
 def group_by_level(

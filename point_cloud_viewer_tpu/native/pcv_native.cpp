@@ -514,6 +514,153 @@ void cull_lod_select_f64(const double* matrix, const double* axes,
                                  visible_out);
 }
 
+// ---------------------------------------------------------------------------
+// Fast meta.pb parser for the CURRENT octree layout (proto3 wire walk of
+// Meta{1:version,4:bbox{3:min,4:max Vector3d},6:OctreeMeta{2:resolution,
+// 3:repeated OctreeNode{2:encoding,3:num_points,4:NodeId{3:hi,4:lo}}}}).
+// Per-node Python decoding costs ~17 us/node; this walks ~1M nodes in tens
+// of milliseconds.  ANY unexpected field (legacy versions, s2 metas,
+// deprecated ids) returns -1 and the caller falls back to the Python
+// decoder, so migrations keep working.
+
+namespace {
+
+struct Cursor {
+    const uint8_t* p;
+    const uint8_t* end;
+    bool ok = true;
+    uint64_t varint() {
+        uint64_t v = 0;
+        int shift = 0;
+        while (p < end) {
+            const uint8_t b = *p++;
+            v |= (uint64_t)(b & 0x7f) << shift;
+            if (!(b & 0x80)) return v;
+            shift += 7;
+            if (shift >= 64) break;
+        }
+        ok = false;
+        return 0;
+    }
+    double fixed64() {
+        if (end - p < 8) { ok = false; return 0.0; }
+        double d;
+        std::memcpy(&d, p, 8);
+        p += 8;
+        return d;
+    }
+};
+
+// Parse Vector3d {1,2,3: double}; unknown fields bail.
+static bool parse_vec3(Cursor c, double* out) {
+    out[0] = out[1] = out[2] = 0.0;
+    while (c.p < c.end && c.ok) {
+        const uint64_t tag = c.varint();
+        const int f = (int)(tag >> 3), wt = (int)(tag & 7);
+        if (wt != 1 || f < 1 || f > 3) return false;
+        out[f - 1] = c.fixed64();
+    }
+    return c.ok;
+}
+
+}  // namespace
+
+int64_t parse_octree_meta(const uint8_t* buf, int64_t len, int32_t* version,
+                          double* bbox /*6: min xyz, max xyz*/,
+                          double* resolution, int64_t n_cap,
+                          uint64_t* id_hi, uint64_t* id_lo,
+                          int64_t* num_points, uint8_t* encoding) {
+    Cursor c{buf, buf + len};
+    int64_t n = 0;
+    bool saw_octree = false;
+    while (c.p < c.end && c.ok) {
+        const uint64_t tag = c.varint();
+        const int f = (int)(tag >> 3), wt = (int)(tag & 7);
+        if (f == 1 && wt == 0) {
+            *version = (int32_t)c.varint();
+        } else if (f == 4 && wt == 2) {  // bounding_box
+            const uint64_t sz = c.varint();
+            if (!c.ok || c.end - c.p < (int64_t)sz) return -1;
+            Cursor b{c.p, c.p + sz};
+            c.p += sz;
+            while (b.p < b.end && b.ok) {
+                const uint64_t t2 = b.varint();
+                const int f2 = (int)(t2 >> 3), w2 = (int)(t2 & 7);
+                if ((f2 == 3 || f2 == 4) && w2 == 2) {
+                    const uint64_t s2 = b.varint();
+                    if (!b.ok || b.end - b.p < (int64_t)s2) return -1;
+                    if (!parse_vec3(Cursor{b.p, b.p + s2},
+                                    bbox + (f2 == 3 ? 0 : 3)))
+                        return -1;
+                    b.p += s2;
+                } else {
+                    return -1;  // deprecated Vector3f forms -> Python path
+                }
+            }
+            if (!b.ok) return -1;
+        } else if (f == 6 && wt == 2) {  // octree
+            saw_octree = true;
+            const uint64_t sz = c.varint();
+            if (!c.ok || c.end - c.p < (int64_t)sz) return -1;
+            Cursor o{c.p, c.p + sz};
+            c.p += sz;
+            while (o.p < o.end && o.ok) {
+                const uint64_t t2 = o.varint();
+                const int f2 = (int)(t2 >> 3), w2 = (int)(t2 & 7);
+                if (f2 == 2 && w2 == 1) {
+                    *resolution = o.fixed64();
+                } else if (f2 == 3 && w2 == 2) {  // one OctreeNode
+                    const uint64_t s2 = o.varint();
+                    if (!o.ok || o.end - o.p < (int64_t)s2) return -1;
+                    Cursor nd{o.p, o.p + s2};
+                    o.p += s2;
+                    uint64_t hi = 0, lo = 0, np_ = 0, enc = 0;
+                    while (nd.p < nd.end && nd.ok) {
+                        const uint64_t t3 = nd.varint();
+                        const int f3 = (int)(t3 >> 3), w3 = (int)(t3 & 7);
+                        if (f3 == 2 && w3 == 0) enc = nd.varint();
+                        else if (f3 == 3 && w3 == 0) np_ = nd.varint();
+                        else if (f3 == 4 && w3 == 2) {
+                            const uint64_t s3 = nd.varint();
+                            if (!nd.ok || nd.end - nd.p < (int64_t)s3)
+                                return -1;
+                            Cursor idc{nd.p, nd.p + s3};
+                            nd.p += s3;
+                            while (idc.p < idc.end && idc.ok) {
+                                const uint64_t t4 = idc.varint();
+                                const int f4 = (int)(t4 >> 3),
+                                          w4 = (int)(t4 & 7);
+                                if (f4 == 3 && w4 == 0) hi = idc.varint();
+                                else if (f4 == 4 && w4 == 0) lo = idc.varint();
+                                else return -1;  // deprecated id forms
+                            }
+                            if (!idc.ok) return -1;
+                        } else {
+                            return -1;
+                        }
+                    }
+                    if (!nd.ok) return -1;
+                    if (id_hi != nullptr) {
+                        if (n >= n_cap) return -1;
+                        id_hi[n] = hi;
+                        id_lo[n] = lo;
+                        num_points[n] = (int64_t)np_;
+                        encoding[n] = (uint8_t)enc;
+                    }
+                    ++n;
+                } else {
+                    return -1;  // deprecated bbox inside OctreeMeta, etc.
+                }
+            }
+            if (!o.ok) return -1;
+        } else {
+            return -1;  // s2 metas, deprecated fields -> Python path
+        }
+    }
+    if (!c.ok || !saw_octree) return -1;
+    return n;
+}
+
 int pcv_native_abi_version() { return 2; }
 
 }  // extern "C"

@@ -48,39 +48,90 @@ class NodeMeta:
     edge_length: float
 
 
+class _LazyNodeIds:
+    """Sequence of NodeId built on demand from the packed arrays — at
+    ~1M-node scale, materializing a million Python objects up front costs
+    seconds; queries only ever touch a visible subset."""
+
+    __slots__ = ("levels", "path_hi", "path_lo")
+
+    def __init__(self, levels, path_hi, path_lo) -> None:
+        self.levels = levels
+        self.path_hi = path_hi
+        self.path_lo = path_lo
+
+    def __len__(self) -> int:
+        return len(self.levels)
+
+    def __getitem__(self, i) -> NodeId:
+        path = (int(self.path_hi[i]) << 64) | int(self.path_lo[i])
+        return NodeId.from_level_index(int(self.levels[i]), path)
+
+    def __iter__(self):
+        for i in range(len(self.levels)):
+            yield self[i]
+
+
 class Octree:
     """An on-disk octree opened for querying/serving."""
 
     def __init__(self, data_provider: DataProvider) -> None:
         self.data_provider = data_provider
-        meta = data_provider.meta_proto()
-        if meta.octree is None:
-            raise ValueError("No octree meta found")
-        self.meta_version = meta.version
-        self.resolution = meta.octree.resolution
-        self.bounding_box = Aabb(meta.bounding_box.min, meta.bounding_box.max)
+        # Fast path: the native wire walker parses a current-layout meta.pb
+        # directly into arrays (~100x the per-node Python decode at ~1M
+        # nodes); anything unusual (legacy versions, s2) falls back.
+        parsed = None
+        raw = None
+        meta_bytes = getattr(data_provider, "meta_bytes", None)
+        if meta_bytes is not None:
+            raw = meta_bytes()
+        if raw is not None:
+            from .. import native
+
+            parsed = native.parse_octree_meta(raw)
+        if parsed is not None:
+            version, bbox, resolution, id_hi, id_lo, num_points, enc = parsed
+            self.meta_version = version
+            self.resolution = resolution
+            self.bounding_box = Aabb(bbox[:3], bbox[3:])
+            self.levels = (id_hi >> np.uint64(56)).astype(np.uint8)
+            mask56 = np.uint64((1 << 56) - 1)
+            self.path_hi = id_hi & mask56
+            self.path_lo = id_lo
+            self.num_points = num_points
+            self._encoding_codes = enc
+            self.node_ids = _LazyNodeIds(self.levels, self.path_hi, self.path_lo)
+            self._index: Optional[Dict[int, int]] = None  # built on demand
+        else:
+            meta = data_provider.meta_proto()
+            if meta.octree is None:
+                raise ValueError("No octree meta found")
+            self.meta_version = meta.version
+            self.resolution = meta.octree.resolution
+            self.bounding_box = Aabb(meta.bounding_box.min, meta.bounding_box.max)
+            ids = [NodeId(n.id) for n in meta.octree.nodes]
+            self.node_ids = ids
+            # Two-word paths: the reader serves the format's FULL level
+            # range (level <= 40, 120-bit paths) though the builder caps
+            # at 21.
+            self.levels, self.path_hi, self.path_lo = unpack_ids(ids)
+            self.num_points = np.array(
+                [n.num_points for n in meta.octree.nodes], dtype=np.int64
+            )
+            self._encoding_codes = np.array(
+                [int(n.position_encoding) for n in meta.octree.nodes],
+                dtype=np.uint8,
+            )
+            self._index = {n.value: i for i, n in enumerate(ids)}
+
         self.root_cube = Cube.bounding(self.bounding_box)
         # Hardcoded octree attribute schema (reference: src/octree/mod.rs:52-72).
         self.attribute_data_types: Dict[str, AttributeDataType] = dict(
             OCTREE_STANDARD_ATTRIBUTES
         )
-
-        ids = [NodeId(n.id) for n in meta.octree.nodes]
-        self.node_ids = ids
-        # Two-word paths: the reader serves the format's FULL level range
-        # (level <= 40, 120-bit paths) even though the builder caps at 21.
-        self.levels, self.path_hi, self.path_lo = unpack_ids(ids)
-        self.num_points = np.array(
-            [n.num_points for n in meta.octree.nodes], dtype=np.int64
-        )
-        self.encodings = [
-            PositionEncoding.from_proto(n.position_encoding)
-            for n in meta.octree.nodes
-        ]
         self.cube_mins, self.cube_edges = bounding_cubes2(
             self.levels, self.path_hi, self.path_lo, self.root_cube
         )
-        self._index: Dict[int, int] = {n.value: i for i, n in enumerate(ids)}
         # Hierarchical cull index for very large node tables: group nodes
         # under their level-_COARSE_LEVEL ancestor so a frame first culls
         # the (few) ancestor cubes and only then their members — exact, not
@@ -89,7 +140,7 @@ class Octree:
         # flat-array analogue of the reference's top-down traversal,
         # src/octree/mod.rs:228-283).
         self._coarse = None
-        if len(ids) >= _HIER_THRESHOLD:
+        if len(self.levels) >= _HIER_THRESHOLD:
             self._build_coarse_index()
 
     @classmethod
@@ -132,10 +183,16 @@ class Octree:
     # -- node lookup -------------------------------------------------------
 
     def node_meta(self, node_id: NodeId) -> NodeMeta:
+        if self._index is None:
+            lv = self.levels.astype(object)
+            hi = self.path_hi.astype(object)
+            lo = self.path_lo.astype(object)
+            values = (lv << 120) | (hi << 64) | lo
+            self._index = {int(v): i for i, v in enumerate(values)}
         i = self._index[node_id.value]
         return NodeMeta(
             num_points=int(self.num_points[i]),
-            position_encoding=self.encodings[i],
+            position_encoding=PositionEncoding(int(self._encoding_codes[i])),
             cube_min=self.cube_mins[i],
             edge_length=float(self.cube_edges[i]),
         )

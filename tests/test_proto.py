@@ -168,3 +168,57 @@ def test_google_protobuf_cross_validation():
     redecoded = MetaProto.decode(reserialized)
     assert redecoded.octree.nodes == ours.octree.nodes
     assert redecoded.bounding_box == ours.bounding_box
+
+
+def test_native_meta_parse_matches_python():
+    """The native meta.pb wire walker agrees with the Python decoder on a
+    current-layout meta and bails (None) on legacy/s2 layouts."""
+    import numpy as np
+
+    from point_cloud_viewer_tpu import native
+    from point_cloud_viewer_tpu.octree.node_id import NodeId
+    from point_cloud_viewer_tpu.protos.meta import (
+        BoundingBoxProto, MetaProto, OctreeMetaProto, OctreeNodeProto,
+        PositionEncodingProto, S2MetaProto,
+    )
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(8)
+    nodes = []
+    for _ in range(500):
+        lvl = int(rng.integers(0, 24))
+        path = int(rng.integers(0, 8 ** min(lvl, 20))) << (3 * max(lvl - 20, 0))
+        nodes.append(OctreeNodeProto(
+            id=NodeId.from_level_index(lvl, path).value,
+            num_points=int(rng.integers(0, 1 << 40)),
+            position_encoding=PositionEncodingProto(int(rng.integers(1, 5))),
+        ))
+    meta = MetaProto(
+        version=13,
+        bounding_box=BoundingBoxProto(min=(-3.5, 2.25, -7.0),
+                                      max=(10.5, 20.0, 30.25)),
+        octree=OctreeMetaProto(resolution=0.023, nodes=nodes),
+    )
+    buf = meta.encode()
+    parsed = native.parse_octree_meta(buf)
+    assert parsed is not None
+    version, bbox, resolution, id_hi, id_lo, num_points, enc = parsed
+    assert version == 13
+    np.testing.assert_array_equal(bbox, [-3.5, 2.25, -7.0, 10.5, 20.0, 30.25])
+    assert resolution == 0.023
+    assert len(id_hi) == len(nodes)
+    for i, n in enumerate(nodes):
+        assert (int(id_hi[i]) << 64) | int(id_lo[i]) == n.id
+        assert int(num_points[i]) == n.num_points
+        assert int(enc[i]) == int(n.position_encoding)
+
+    # s2 metas must bail to the Python decoder.
+    s2meta = MetaProto(
+        version=13,
+        bounding_box=BoundingBoxProto(min=(0.0,) * 3, max=(1.0,) * 3),
+        s2=S2MetaProto(cells=[], attributes=[]),
+    )
+    assert native.parse_octree_meta(s2meta.encode()) is None
