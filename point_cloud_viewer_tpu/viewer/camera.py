@@ -73,6 +73,18 @@ class Camera:
     def mouse_wheel(self, delta: float) -> None:
         self.movement_speed *= 1.1 ** delta
 
+    def pan(self, x: float, y: float, z: float) -> None:
+        """Accumulate a camera-frame translation for this frame
+        (reference camera.rs:304-308; joystick input arrives here)."""
+        self._pan[0] += x
+        self._pan[1] += y
+        self._pan[2] += z
+
+    def rotate(self, up: float, around: float) -> None:
+        """Accumulate rotation speed (reference camera.rs:310-313)."""
+        self._rotation_speed[0] += around
+        self._rotation_speed[1] += up
+
     def set_size(self, width: int, height: int) -> None:
         self.width = width
         self.height = height

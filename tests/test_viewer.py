@@ -234,3 +234,38 @@ def test_planet_scale_render_precision(tmp_path):
     bg = np.array([17, 17, 20, 255], dtype=np.uint8)
     painted = np.any(img != bg, axis=-1).sum()
     assert painted > 1_000, painted
+
+
+def test_joystick_mappings():
+    """Axis->camera mapping parity with the reference
+    (sdl_viewer/src/lib.rs:304-348): raw i16 axis values scale into
+    pan/rotate exactly; device classification is by name."""
+    from point_cloud_viewer_tpu.viewer.input import (
+        SpaceMouseJoystick, XBoxJoystick, joystick_for_name,
+    )
+
+    assert isinstance(joystick_for_name("Xbox Wireless Controller"), XBoxJoystick)
+    assert isinstance(joystick_for_name("3Dconnexion SpaceMouse"), SpaceMouseJoystick)
+
+    cam = Camera()
+    cam.theta = 0.0
+    cam.phi = 0.0
+    XBoxJoystick().act(cam, [1000, -2000, 0, 16000, -8000])
+    # pan: right=1.0, forward=-2.0 (camera frame z); rotate: around=-0.5,
+    # up=0.25.
+    np.testing.assert_allclose(cam._pan, [1.0, 0.0, -2.0])
+    np.testing.assert_allclose(cam._rotation_speed, [-0.5, 0.25])
+    speed = cam.movement_speed
+    moved = cam.update(1.0)
+    assert moved
+    # Identity orientation at theta=phi=0: the camera-frame pan is
+    # world-aligned and scaled by movement_speed * dt.
+    np.testing.assert_allclose(cam.position, np.array([1.0, 0.0, -2.0]) * speed)
+    np.testing.assert_allclose(cam.theta, -0.5)
+    np.testing.assert_allclose(cam.phi, 0.25)
+
+    cam2 = Camera()
+    SpaceMouseJoystick().act(cam2, [500, 500, -500, 250, 100, 400])
+    np.testing.assert_allclose(cam2._pan, [1.0, -1.0, 1.0])
+    # up = 0.5, around = 0.2 - 0.8 = -0.6
+    np.testing.assert_allclose(cam2._rotation_speed, [-0.6, 0.5])
