@@ -113,13 +113,15 @@ void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out,
     constexpr int RADIX_BITS = 16;
     constexpr int BUCKETS = 1 << RADIX_BITS;
     std::vector<uint64_t> k0(keys, keys + n), k1(n);
-    std::vector<int64_t> p0(n), p1(n);
-    for (int64_t i = 0; i < n; ++i) p0[i] = i;
+    // u32 permutation during the passes (n < 2^32 always holds for
+    // in-memory clouds): 25% less scatter traffic than i64.
+    std::vector<uint32_t> p0(n), p1(n);
+    for (int64_t i = 0; i < n; ++i) p0[i] = (uint32_t)i;
 
     uint64_t* kin = k0.data();
     uint64_t* kout = k1.data();
-    int64_t* pin = p0.data();
-    int64_t* pout = p1.data();
+    uint32_t* pin = p0.data();
+    uint32_t* pout = p1.data();
 
     const int num_threads = std::max(
         1, (int)std::min<int64_t>(std::thread::hardware_concurrency(), 16));
@@ -185,7 +187,7 @@ void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out,
         std::swap(pin, pout);
     }
     std::memcpy(keys_out, kin, sizeof(uint64_t) * n);
-    std::memcpy(perm_out, pin, sizeof(int64_t) * n);
+    for (int64_t i = 0; i < n; ++i) perm_out[i] = pin[i];
 }
 
 // ---------------------------------------------------------------------------
