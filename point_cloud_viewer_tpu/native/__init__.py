@@ -135,6 +135,12 @@ def _configure(h: ctypes.CDLL) -> None:
         POINTER(c_uint8), c_int64, ctypes.c_int, POINTER(c_int64),
         POINTER(c_int64),
     ]
+    h.group_levels_full.argtypes = [
+        POINTER(c_uint64), POINTER(c_uint8), POINTER(c_uint8), c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, POINTER(c_int64), ctypes.c_void_p,
+        POINTER(c_int64),
+    ]
     h.quantize_morton.argtypes = [
         POINTER(c_double), POINTER(c_double), c_double, ctypes.c_int, c_int64,
         POINTER(c_uint64), ctypes.c_void_p,
@@ -326,6 +332,58 @@ def parse_octree_meta(data: bytes):
         int(version.value), np.array(bbox[:6]), float(resolution.value),
         id_hi, id_lo, num_points, encoding,
     )
+
+
+def group_levels_full(
+    codes: np.ndarray, final_lv: np.ndarray, leaf_lv: np.ndarray,
+    depth: int, num_levels: int,
+):
+    """Whole builder grouping in one native pass: counting-sort by final
+    level + per-level node-path runs + per-level distinct leaf prefixes.
+
+    Returns (idx_by_level i64[n], level_starts i64[L+1],
+    node_paths u64[...], node_counts i64[...], node_level_offsets i64[L+1],
+    leaf_paths u64[...], leaf_level_offsets i64[L+1]) or None."""
+    h = lib()
+    if h is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    final_lv = np.ascontiguousarray(final_lv, dtype=np.uint8)
+    leaf_lv = np.ascontiguousarray(leaf_lv, dtype=np.uint8)
+    n = len(codes)
+    node_cnt = np.zeros(num_levels + 1, dtype=np.int64)
+    leaf_cnt = np.zeros(num_levels + 1, dtype=np.int64)
+    h.group_levels_full(
+        _ptr(codes, ctypes.c_uint64), _ptr(final_lv, ctypes.c_uint8),
+        _ptr(leaf_lv, ctypes.c_uint8), n, ctypes.c_int(depth),
+        ctypes.c_int(num_levels), None, None, None, None,
+        _ptr(node_cnt, ctypes.c_int64), None,
+        _ptr(leaf_cnt, ctypes.c_int64),
+    )
+    node_offsets = np.zeros(num_levels + 1, dtype=np.int64)
+    np.cumsum(node_cnt[:num_levels], out=node_offsets[1:])
+    leaf_offsets = np.zeros(num_levels + 1, dtype=np.int64)
+    np.cumsum(leaf_cnt[:num_levels], out=leaf_offsets[1:])
+
+    idx_by_level = np.empty(n, dtype=np.int64)
+    level_starts = np.empty(num_levels + 1, dtype=np.int64)
+    node_paths = np.empty(int(node_offsets[-1]), dtype=np.uint64)
+    node_counts = np.empty(int(node_offsets[-1]), dtype=np.int64)
+    leaf_paths = np.empty(int(leaf_offsets[-1]), dtype=np.uint64)
+    h.group_levels_full(
+        _ptr(codes, ctypes.c_uint64), _ptr(final_lv, ctypes.c_uint8),
+        _ptr(leaf_lv, ctypes.c_uint8), n, ctypes.c_int(depth),
+        ctypes.c_int(num_levels),
+        idx_by_level.ctypes.data_as(ctypes.c_void_p),
+        level_starts.ctypes.data_as(ctypes.c_void_p),
+        node_paths.ctypes.data_as(ctypes.c_void_p),
+        node_counts.ctypes.data_as(ctypes.c_void_p),
+        _ptr(node_offsets, ctypes.c_int64),
+        leaf_paths.ctypes.data_as(ctypes.c_void_p),
+        _ptr(leaf_offsets, ctypes.c_int64),
+    )
+    return (idx_by_level, level_starts, node_paths, node_counts,
+            node_offsets, leaf_paths, leaf_offsets)
 
 
 def group_by_level(

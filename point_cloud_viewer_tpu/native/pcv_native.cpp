@@ -400,6 +400,121 @@ void tree_levels(const uint64_t* codes, int64_t n, int depth, int root_level,
     }
 }
 
+// Full level grouping for the builder: counting-sort point indices by
+// final level AND emit, per level, the distinct code-prefix runs (node
+// paths + per-node counts) plus the distinct leaf prefixes (for the
+// ancestor/node-set union done in numpy).  Replaces per-level
+// codes[sel] >> shift gathers in Python (the dominant cost of grouping on
+// slow-memory hosts).
+//
+// Two-call protocol: with idx_by_level == nullptr only the per-level node
+// and leaf-path counts are produced (node_level_offsets / leaf_level_offsets
+// hold COUNTS, not offsets, in that mode); the second call fills all
+// arrays, with the offsets precomputed by the caller.
+
+void group_levels_full(const uint64_t* codes, const uint8_t* final_lv,
+                       const uint8_t* leaf_lv, int64_t n, int depth,
+                       int num_levels,
+                       int64_t* idx_by_level /*n, nullable*/,
+                       int64_t* level_starts /*num_levels+1*/,
+                       uint64_t* node_paths_flat,
+                       int64_t* node_counts_flat,
+                       int64_t* node_level_offsets /*num_levels+1*/,
+                       uint64_t* leaf_paths_flat,
+                       int64_t* leaf_level_offsets /*num_levels+1*/) {
+    const bool fill = idx_by_level != nullptr;
+    // Counting sort by final level (stable: ascending index order within
+    // a level = code order).
+    std::vector<int64_t> count(num_levels, 0);
+    for (int64_t i = 0; i < n; ++i) count[final_lv[i]]++;
+    std::vector<int64_t> starts(num_levels + 1);
+    int64_t acc = 0;
+    for (int l = 0; l < num_levels; ++l) {
+        starts[l] = acc;
+        acc += count[l];
+    }
+    starts[num_levels] = acc;
+    std::vector<int64_t> cursor(starts.begin(), starts.end() - 1);
+    std::vector<int64_t> own_idx;
+    int64_t* idx = idx_by_level;
+    if (!fill) {
+        own_idx.resize(n);
+        idx = own_idx.data();
+    }
+    for (int64_t i = 0; i < n; ++i) idx[cursor[final_lv[i]]++] = i;
+    if (fill)
+        std::memcpy(level_starts, starts.data(),
+                    sizeof(int64_t) * (num_levels + 1));
+
+    // Per level: distinct prefix runs over the level's points (code order).
+    for (int l = 0; l < num_levels; ++l) {
+        const int shift = 3 * (depth - l);
+        int64_t n_nodes = 0;
+        uint64_t last = 0;
+        int64_t run = 0;
+        int64_t out = fill ? node_level_offsets[l] : 0;
+        for (int64_t i = starts[l]; i < starts[l + 1]; ++i) {
+            const uint64_t pref =
+                shift >= 64 ? 0 : codes[idx[i]] >> shift;
+            if (run == 0 || pref != last) {
+                if (fill && run > 0) {
+                    node_paths_flat[out] = last;
+                    node_counts_flat[out] = run;
+                    ++out;
+                }
+                if (!fill && run > 0) ++n_nodes;
+                last = pref;
+                run = 1;
+            } else {
+                ++run;
+            }
+        }
+        if (run > 0) {
+            if (fill) {
+                node_paths_flat[out] = last;
+                node_counts_flat[out] = run;
+                ++out;
+            } else {
+                ++n_nodes;
+            }
+        }
+        if (!fill) node_level_offsets[l] = n_nodes;
+    }
+
+    // Leaf prefixes per level (distinct paths only).  Leaf levels are also
+    // code-ordered within a level after a counting sort.
+    std::fill(count.begin(), count.end(), 0);
+    for (int64_t i = 0; i < n; ++i) count[leaf_lv[i]]++;
+    std::vector<int64_t> lstarts(num_levels + 1);
+    acc = 0;
+    for (int l = 0; l < num_levels; ++l) {
+        lstarts[l] = acc;
+        acc += count[l];
+    }
+    lstarts[num_levels] = acc;
+    std::vector<int64_t> lidx(n);
+    std::vector<int64_t> lcursor(lstarts.begin(), lstarts.end() - 1);
+    for (int64_t i = 0; i < n; ++i) lidx[lcursor[leaf_lv[i]]++] = i;
+    for (int l = 0; l < num_levels; ++l) {
+        const int shift = 3 * (depth - l);
+        int64_t n_paths = 0;
+        uint64_t last = 0;
+        bool have = false;
+        int64_t out = fill ? leaf_level_offsets[l] : 0;
+        for (int64_t i = lstarts[l]; i < lstarts[l + 1]; ++i) {
+            const uint64_t pref =
+                shift >= 64 ? 0 : codes[lidx[i]] >> shift;
+            if (!have || pref != last) {
+                if (fill) leaf_paths_flat[out + n_paths] = pref;
+                ++n_paths;
+                last = pref;
+                have = true;
+            }
+        }
+        if (!fill) leaf_level_offsets[l] = n_paths;
+    }
+}
+
 // Stable counting sort of point indices by tree level (u8, values <= L):
 // idx_out[starts[l] .. starts[l+1]) = indices with lv == l, ascending.
 void group_by_level(const uint8_t* lv, int64_t n, int num_levels,

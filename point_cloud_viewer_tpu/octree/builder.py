@@ -407,30 +407,14 @@ def _group_device_levels(
     writer consumes.  The node SET is every leaf node plus all ancestors
     (nodes drained empty by promotion are still recorded with 0 points,
     matching the host path and the reference's finished_nodes)."""
-    # One stable counting sort each splits points by level while preserving
-    # the code order inside each level (so per-level prefixes stay sorted).
-    from .. import native
-
-    def _split_by_level(levels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        out = native.group_by_level(levels, depth_cap + 1)
-        if out is not None:
-            return out
-        order = np.argsort(levels, kind="stable").astype(np.int64)
-        return order, np.searchsorted(levels[order], np.arange(depth_cap + 2))
-
-    order_final, final_starts = _split_by_level(final_levels)
-    order_leaf, leaf_starts = _split_by_level(leaf_levels)
+    groups = _level_groups(codes, final_levels, leaf_levels, depth_cap)
+    order_final, final_starts, occupied_by_level, leaf_paths_by_level = groups
 
     # All nodes that exist: leaves + every ancestor.
     node_paths: Dict[int, np.ndarray] = {}
     carry = np.empty(0, dtype=np.uint64)
     for level in range(depth_cap, 0, -1):
-        sel = order_leaf[leaf_starts[level] : leaf_starts[level + 1]]
-        shift = np.uint64(3 * (depth_cap - level))
-        # stable argsort keeps original (code) order within a level, so
-        # per-level prefixes are already sorted.
-        leaf_paths, _ = _sorted_unique_counts(codes[sel] >> shift)
-        node_paths[level] = np.union1d(carry, leaf_paths)
+        node_paths[level] = np.union1d(carry, leaf_paths_by_level[level])
         carry = np.unique(node_paths[level] >> np.uint64(3))
     node_paths[0] = np.zeros(1, dtype=np.uint64)
 
@@ -439,10 +423,9 @@ def _group_device_levels(
         if len(paths) == 0:
             continue
         sel = order_final[final_starts[level] : final_starts[level + 1]]
-        prefixes = codes[sel] >> np.uint64(3 * (depth_cap - level))
         # Count of points per node (0 for drained nodes).
         counts = np.zeros(len(paths), dtype=np.int64)
-        occupied, occ_counts = _sorted_unique_counts(prefixes)
+        occupied, occ_counts = occupied_by_level[level]
         pos = np.searchsorted(paths, occupied)
         counts[pos] = occ_counts
         offsets = np.concatenate([[0], np.cumsum(counts)])
@@ -450,6 +433,50 @@ def _group_device_levels(
             paths=paths.astype(np.uint64), offsets=offsets, idx=sel
         )
     return out
+
+
+def _level_groups(codes, final_levels, leaf_levels, depth_cap):
+    """Shared grouping primitive: splits points by level (stable — code
+    order preserved) and produces per-level occupied node paths+counts and
+    distinct leaf prefixes.  Native single-pass kernel when available; the
+    numpy fallback gathers codes per level."""
+    from .. import native
+
+    num_levels = depth_cap + 1
+    full = native.group_levels_full(
+        codes, final_levels, leaf_levels, depth_cap, num_levels
+    )
+    if full is not None:
+        (idx_by_level, level_starts, node_paths_flat, node_counts_flat,
+         node_offsets, leaf_paths_flat, leaf_offsets) = full
+        occupied = {
+            l: (node_paths_flat[node_offsets[l] : node_offsets[l + 1]],
+                node_counts_flat[node_offsets[l] : node_offsets[l + 1]])
+            for l in range(num_levels)
+        }
+        leaf_paths = {
+            l: leaf_paths_flat[leaf_offsets[l] : leaf_offsets[l + 1]]
+            for l in range(num_levels)
+        }
+        return idx_by_level, level_starts, occupied, leaf_paths
+
+    def _split_by_level(levels: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        order = np.argsort(levels, kind="stable").astype(np.int64)
+        return order, np.searchsorted(levels[order], np.arange(num_levels + 1))
+
+    order_final, final_starts = _split_by_level(final_levels)
+    order_leaf, leaf_starts = _split_by_level(leaf_levels)
+    occupied = {}
+    leaf_paths = {}
+    for level in range(num_levels):
+        shift = np.uint64(3 * (depth_cap - level))
+        sel = order_final[final_starts[level] : final_starts[level + 1]]
+        # stable split keeps original (code) order within a level, so
+        # per-level prefixes are already sorted.
+        occupied[level] = _sorted_unique_counts(codes[sel] >> shift)
+        lsel = order_leaf[leaf_starts[level] : leaf_starts[level + 1]]
+        leaf_paths[level], _ = _sorted_unique_counts(codes[lsel] >> shift)
+    return order_final, final_starts, occupied, leaf_paths
 
 
 def _group_subtree_levels(
@@ -463,31 +490,13 @@ def _group_subtree_levels(
     path: nodes are grouped for levels root_level+1..depth_cap, and the
     points resting AT root_level (the bucket residual that the caller's top
     pass continues from) are returned as a separate index array."""
-    from .. import native
-
-    lv_count = depth_cap + 1
-    out = native.group_by_level(final_levels, lv_count)
-    if out is None:
-        order = np.argsort(final_levels, kind="stable").astype(np.int64)
-        starts = np.searchsorted(final_levels[order], np.arange(lv_count + 1))
-        order_final, final_starts = order, starts
-    else:
-        order_final, final_starts = out
-    out = native.group_by_level(leaf_levels, lv_count)
-    if out is None:
-        order = np.argsort(leaf_levels, kind="stable").astype(np.int64)
-        starts = np.searchsorted(leaf_levels[order], np.arange(lv_count + 1))
-        order_leaf, leaf_starts = order, starts
-    else:
-        order_leaf, leaf_starts = out
+    groups = _level_groups(codes, final_levels, leaf_levels, depth_cap)
+    order_final, final_starts, occupied_by_level, leaf_paths_by_level = groups
 
     node_paths: Dict[int, np.ndarray] = {}
     carry = np.empty(0, dtype=np.uint64)
     for level in range(depth_cap, root_level, -1):
-        sel = order_leaf[leaf_starts[level] : leaf_starts[level + 1]]
-        shift = np.uint64(3 * (depth_cap - level))
-        leaf_paths, _ = _sorted_unique_counts(codes[sel] >> shift)
-        node_paths[level] = np.union1d(carry, leaf_paths)
+        node_paths[level] = np.union1d(carry, leaf_paths_by_level[level])
         carry = np.unique(node_paths[level] >> np.uint64(3))
 
     grouped: Dict[int, _LevelNodes] = {}
@@ -495,9 +504,8 @@ def _group_subtree_levels(
         if len(paths) == 0:
             continue
         sel = order_final[final_starts[level] : final_starts[level + 1]]
-        prefixes = codes[sel] >> np.uint64(3 * (depth_cap - level))
         counts = np.zeros(len(paths), dtype=np.int64)
-        occupied, occ_counts = _sorted_unique_counts(prefixes)
+        occupied, occ_counts = occupied_by_level[level]
         pos = np.searchsorted(paths, occupied)
         counts[pos] = occ_counts
         offsets = np.concatenate([[0], np.cumsum(counts)])
