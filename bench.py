@@ -213,6 +213,43 @@ def time_cull(num_nodes: int, frames: int = 200):
     return host_ms, device_ms, batched_ms
 
 
+def time_cull_1m_nodes(frames: int = 20) -> float:
+    """ms/frame of the container's hierarchical cull at 1M nodes with a
+    partial-view frustum (the colossal-cloud serving case).  The node table
+    is synthesized directly into a container (metas of this size load
+    through the native parser in ~1 s, irrelevant to per-frame cost)."""
+    from point_cloud_viewer_tpu.math.geometry import (
+        Cube, Frustum, Isometry, Perspective,
+    )
+    from point_cloud_viewer_tpu.octree.node_id import bounding_cubes2
+    from point_cloud_viewer_tpu.octree.octree import Octree
+
+    rng = np.random.default_rng(5)
+    k = 1_000_000
+    octree = Octree.__new__(Octree)
+    octree.levels = rng.integers(7, 11, k).astype(np.uint8)
+    octree.path_hi = np.zeros(k, dtype=np.uint64)
+    octree.path_lo = (
+        rng.random(k) * (8.0 ** octree.levels.astype(np.float64))
+    ).astype(np.uint64)
+    octree.num_points = np.full(k, 10, dtype=np.int64)
+    octree.root_cube = Cube(np.zeros(3), 1024.0)
+    octree.cube_mins, octree.cube_edges = bounding_cubes2(
+        octree.levels, octree.path_hi, octree.path_lo, octree.root_cube
+    )
+    octree._coarse = None
+    octree._build_coarse_index()
+
+    eye = Isometry.from_axis_angle([0, 1, 0], 0.3,
+                                   translation=[200.0, 200.0, 400.0])
+    frustum = Frustum.new(eye, Perspective.from_fov(1.0, 0.7, 1.0, 500.0))
+    octree.visible_nodes_with_sizes(frustum, max_nodes=4096)  # warm
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        octree.visible_nodes_with_sizes(frustum, max_nodes=4096)
+    return (time.perf_counter() - t0) / frames * 1e3
+
+
 def bench_queries(n: int = 1_000_000) -> dict:
     """Streaming-query benchmarks over octree and S2 containers — the
     reference's criterion suite (point_cloud_test/benches/main.rs:32-136):
@@ -325,6 +362,7 @@ def main() -> None:
     ratio = 1.0 if baseline_s is None else baseline_s / best_s
 
     cull_ms, cull_device_ms, cull_batched_ms = time_cull(num_nodes=4096)
+    cull_1m_ms = time_cull_1m_nodes()
 
     extra = bench_queries() if args.queries else {}
 
@@ -338,6 +376,7 @@ def main() -> None:
                 "vs_baseline": round(ratio, 3),
                 "headline_path": "host" if host_s <= e2e_device_s else "device",
                 "cull_lod_ms_per_frame_4096_nodes": round(cull_ms, 4),
+                "cull_lod_ms_per_frame_1m_nodes": round(cull_1m_ms, 4),
                 "cull_lod_device_ms_per_frame": round(cull_device_ms, 4),
                 "cull_lod_ms_per_frame_batched": round(cull_batched_ms, 4),
                 "e2e_device_s": round(e2e_device_s, 3),
