@@ -217,7 +217,9 @@ def test_clipmap_mesh_geometry():
     assert len(ring_idx) == (8 * 8 - 4 * 4) * 6
     # every triangle has nonzero area on the grid
     tri = verts[idx.reshape(-1, 3)]
-    area = np.abs(np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]))
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    area = np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
     assert (area > 0).all()
 
 
