@@ -89,7 +89,11 @@ def test_cli_inpaint(tmp_path, capsys):
 def test_patchmatch_continues_texture_not_smears():
     """Fill a hole punched into a striped texture: the PatchMatch fill must
     reconstruct the stripes (low error vs ground truth, high variance),
-    where diffusion smears them into a gradient (VERDICT missing #3)."""
+    where diffusion smears them into a gradient (VERDICT missing #3).
+
+    A committed side-by-side fixture of this exact scenario lives at
+    tests/golden/inpaint_hole_diffusion_patchmatch_truth.png
+    (hole | diffusion | patchmatch | truth)."""
     import numpy as np
 
     from point_cloud_viewer_tpu.xray.inpaint import (
