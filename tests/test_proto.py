@@ -222,3 +222,37 @@ def test_native_meta_parse_matches_python():
         s2=S2MetaProto(cells=[], attributes=[]),
     )
     assert native.parse_octree_meta(s2meta.encode()) is None
+
+
+def test_native_meta_parse_fuzz_no_crash():
+    """The native wire walker must never crash on malformed input — every
+    corruption either parses to the same arrays or bails to Python (None)."""
+    import numpy as np
+
+    from point_cloud_viewer_tpu import native
+    from point_cloud_viewer_tpu.protos.meta import (
+        BoundingBoxProto, MetaProto, OctreeMetaProto, OctreeNodeProto,
+        PositionEncodingProto,
+    )
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        buf = rng.integers(0, 256, rng.integers(0, 120), dtype=np.uint8).tobytes()
+        native.parse_octree_meta(buf)
+    meta = MetaProto(
+        version=13,
+        bounding_box=BoundingBoxProto(min=(0, 0, 0), max=(1, 1, 1)),
+        octree=OctreeMetaProto(resolution=0.5, nodes=[
+            OctreeNodeProto(id=(3 << 120) | 5, num_points=7,
+                            position_encoding=PositionEncodingProto.UINT8)]),
+    )
+    base = bytearray(meta.encode())
+    for i in range(len(base)):
+        flipped = bytearray(base)
+        flipped[i] ^= 0xFF
+        native.parse_octree_meta(bytes(flipped))
+        native.parse_octree_meta(bytes(base[:i]))  # truncation
