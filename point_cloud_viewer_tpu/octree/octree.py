@@ -90,6 +90,14 @@ class Octree:
 
             parsed = native.parse_octree_meta(raw)
         if parsed is not None:
+            from ..core.constants import CURRENT_VERSION
+
+            if parsed[0] != CURRENT_VERSION:
+                # Unknown versions must go through the Python decoder's
+                # version policy (migrate or raise), not be accepted just
+                # because the wire layout happens to match.
+                parsed = None
+        if parsed is not None:
             version, bbox, resolution, id_hi, id_lo, num_points, enc = parsed
             self.meta_version = version
             self.resolution = resolution

@@ -136,3 +136,29 @@ def test_unknown_version_rejected():
     meta.varint(1, 14, signed=True)
     with pytest.raises(ValueError):
         MetaProto.decode(meta.finish())
+
+
+def test_unsupported_version_rejected_through_fast_path(tmp_path):
+    """A v99 meta with an otherwise-modern layout must raise through the
+    container even though the native fast parser could read its bytes."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from point_cloud_viewer_tpu.octree.octree import Octree
+    from point_cloud_viewer_tpu.protos.meta import (
+        BoundingBoxProto, MetaProto, OctreeMetaProto,
+    )
+
+    meta = MetaProto(
+        version=99,
+        bounding_box=BoundingBoxProto(min=(0.0,) * 3, max=(1.0,) * 3),
+        octree=OctreeMetaProto(resolution=0.5, nodes=[]),
+    )
+    d = str(tmp_path / "v99")
+    os.makedirs(d)
+    with open(os.path.join(d, "meta.pb"), "wb") as f:
+        f.write(meta.encode())
+    with pytest.raises(ValueError, match="unsupported meta version"):
+        Octree.from_directory(d)
