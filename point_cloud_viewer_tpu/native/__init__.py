@@ -56,7 +56,7 @@ def _build() -> bool:
 
 def lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
-    if _disabled:
+    if _disabled or os.environ.get("PCV_DISABLE_NATIVE"):
         return None
     with _lock:
         if _lib is not None or _tried:
