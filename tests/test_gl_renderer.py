@@ -258,3 +258,52 @@ def test_terrain_clipmap_renders(tmp_path, renderer):
     img = renderer.read_frame()
     reds = (img[:, :, 0] > 120) & (img[:, :, 1] < 80)
     assert reds.sum() > 1000, reds.sum()
+
+
+def test_gl_agrees_with_software_rasterizer():
+    """The GL pipeline and the numpy software rasterizer must paint the
+    same scene in roughly the same place: compare coarse occupancy grids
+    of the two renders (point-size/rounding differences prevent an exact
+    match)."""
+    from point_cloud_viewer_tpu.viewer.gl.renderer import (
+        GlContext, PointsRendererGL,
+    )
+    from point_cloud_viewer_tpu.viewer.software_raster import rasterize_points
+
+    rng = np.random.default_rng(7)
+    n = 4_000
+    t = rng.random((n, 3))
+    cube_min = np.array([5.0, 5.0, 0.0])
+    edge = 12.0
+    world = cube_min + t * edge
+    colors = np.full((n, 3), 230, dtype=np.uint8)
+
+    eye = cube_min + np.array([6.0, -20.0, 14.0])
+    clip = _look_at_clip(eye, cube_min + edge / 2, aspect=160 / 120)
+
+    sw = rasterize_points(world, colors, clip, 160, 120)
+
+    ctx = GlContext(width=160, height=120)
+    r = PointsRendererGL(ctx)
+    node = r.make_node_buffer(
+        t.astype(np.float32), colors, PositionEncoding.FLOAT32, cube_min, edge
+    )
+    r.point_size = 1.0
+    r.begin_frame()
+    r.draw_node(node, clip, camera_origin=eye)
+    hw = r.read_frame()
+    node.destroy()
+
+    def occupancy(img, bg):
+        mask = np.any(img[:, :, :3] != bg, axis=-1)
+        # 8x8 blocks
+        return mask[: 120 - 120 % 8, : 160 - 160 % 8].reshape(
+            15, 8, 20, 8
+        ).any(axis=(1, 3))
+
+    occ_sw = occupancy(sw, sw[0, 0, :3])
+    occ_gl = occupancy(hw, hw[0, 0, :3])
+    inter = (occ_sw & occ_gl).sum()
+    union = (occ_sw | occ_gl).sum()
+    assert union > 20  # scene actually visible in both
+    assert inter / union > 0.75, (inter, union)
