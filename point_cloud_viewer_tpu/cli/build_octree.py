@@ -32,6 +32,14 @@ def main(argv=None) -> int:
         help="Run the tree derivation on the default JAX device (TPU).",
     )
     parser.add_argument(
+        "--mesh",
+        type=int,
+        default=0,
+        metavar="N",
+        help="Shard the sort stage over an N-device jax.sharding.Mesh "
+        "(multi-chip build; output is bit-identical to single-chip).",
+    )
+    parser.add_argument(
         "--streaming",
         action="store_true",
         help="Bounded-memory out-of-core build (for clouds larger than RAM).",
@@ -53,12 +61,18 @@ def main(argv=None) -> int:
     else:
         from ..octree.builder import build_octree_from_file
 
+        mesh = None
+        if args.mesh:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.mesh)
         result = build_octree_from_file(
             args.output_directory,
             args.resolution,
             args.input,
             attributes=args.attributes,
             use_device=args.use_device,
+            mesh=mesh,
         )
     print(
         f"Built octree with {result.num_points} points in "
