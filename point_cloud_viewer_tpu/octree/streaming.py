@@ -105,6 +105,24 @@ class _BucketSpill:
                 pass
 
 
+_SPILL_MARKER = "_spill_complete.json"
+
+
+def _checkpoint_params(resolution, bounding_box, b_levels, depth_cap) -> dict:
+    return {
+        "resolution": float(resolution),
+        "bbox_min": [float(v) for v in bounding_box.mins],
+        "bbox_max": [float(v) for v in bounding_box.maxs],
+        "bucket_levels": int(b_levels),
+        "depth_cap": int(depth_cap),
+    }
+
+
+def _bucket_done_paths(spill_dir: str, bucket: int):
+    base = os.path.join(spill_dir, f"_done_b{bucket:04d}")
+    return base + ".json", base + ".npz"
+
+
 def build_octree_streaming(
     output_directory: str,
     resolution: float,
@@ -120,7 +138,16 @@ def build_octree_streaming(
     `data` may be a PointsBatch or any iterator of batches (e.g. PlyReader);
     for iterator input, `bounding_box` must be supplied OR the iterator must
     be re-iterable (we stream it twice).
+
+    CHECKPOINT/RESUME: with an explicit `spill_directory`, long builds are
+    resumable — the spill pass writes a completion marker, and every
+    finished bucket subtree persists its residual + recorded nodes before
+    its spill files are deleted.  Re-running the same call after a crash
+    skips the spill pass and all finished buckets (the result is
+    byte-identical to an uninterrupted build; enforced by tests).
     """
+    import json
+
     os.makedirs(output_directory, exist_ok=True)
 
     if bounding_box is None:
@@ -146,20 +173,53 @@ def build_octree_streaming(
     os.makedirs(spill_dir, exist_ok=True)
     spill = _BucketSpill(spill_dir, num_buckets)
 
-    # --- PASS 2: spill by top bucket bits ----------------------------------
-    total = 0
-    for batch in _iter_batches(data):
-        if attributes is not None:
-            batch = PointsBatch(
-                position=batch.position,
-                attributes={a: batch.attributes[a] for a in attributes},
+    params = _checkpoint_params(resolution, bounding_box, b_levels, depth_cap)
+    marker_path = os.path.join(spill_dir, _SPILL_MARKER)
+    resumed = False
+    if spill_directory is not None and os.path.exists(marker_path):
+        with open(marker_path) as f:
+            marker = json.load(f)
+        if marker.get("params") == params:
+            # Resume: the spill pass already completed for this exact build.
+            total = int(marker["total"])
+            spill.counts = np.asarray(marker["counts"], dtype=np.int64)
+            spill._schemas = [
+                (name, np.dtype(dt), int(dim))
+                for name, dt, dim in marker["schemas"]
+            ]
+            resumed = True
+        else:
+            raise ValueError(
+                f"spill directory {spill_dir} holds a checkpoint for a "
+                "DIFFERENT build (params mismatch); use a fresh directory"
             )
-        codes, _ = morton.quantize_and_encode(
-            batch.position, root_cube.min, root_cube.edge_length, depth_cap
-        )
-        buckets = (codes >> np.uint64(3 * (depth_cap - b_levels))).astype(np.int64)
-        spill.append(buckets, batch)
-        total += len(batch)
+
+    # --- PASS 2: spill by top bucket bits ----------------------------------
+    if not resumed:
+        total = 0
+        for batch in _iter_batches(data):
+            if attributes is not None:
+                batch = PointsBatch(
+                    position=batch.position,
+                    attributes={a: batch.attributes[a] for a in attributes},
+                )
+            codes, _ = morton.quantize_and_encode(
+                batch.position, root_cube.min, root_cube.edge_length, depth_cap
+            )
+            buckets = (codes >> np.uint64(3 * (depth_cap - b_levels))).astype(np.int64)
+            spill.append(buckets, batch)
+            total += len(batch)
+        if spill_directory is not None:
+            with open(marker_path, "w") as f:
+                json.dump({
+                    "params": params,
+                    "total": total,
+                    "counts": [int(c) for c in spill.counts],
+                    "schemas": [
+                        (name, dt.str, int(dim))
+                        for name, dt, dim in (spill._schemas or [])
+                    ],
+                }, f)
 
     if total == 0:
         meta = _meta_proto(resolution, bounding_box, [])
@@ -199,6 +259,7 @@ def build_octree_streaming(
         split[lvl] = children[nonempty & ~is_leaf]
 
     # --- per-bucket subtree builds -----------------------------------------
+    checkpointing = spill_directory is not None
     recorded: List[Tuple[NodeId, int]] = []
     # (level, batch) pairs feeding the top pass: bucket residuals at level B
     # and whole point sets of shallow leaves.
@@ -207,28 +268,63 @@ def build_octree_streaming(
     for bucket in range(num_buckets):
         if spill.counts[bucket] == 0:
             continue
-        bucket_batch = spill.load(bucket)
-        spill.delete(bucket)
         leaf_lvl = int(top_leaf_of_bucket[bucket])
-        if leaf_lvl >= 0:
-            # Belongs to a leaf above/at the bucket level: no subtree.
-            top_inputs.append((leaf_lvl, bucket_batch))
-            continue
-        if bucket in split_b:
-            residual, nodes = _build_bucket_subtree(
-                output_directory,
-                bucket_batch,
-                bucket_path=bucket,
-                bucket_level=b_levels,
-                root_cube=root_cube,
-                resolution=resolution,
-                depth_cap=depth_cap,
+        if leaf_lvl >= 0 or bucket not in split_b:
+            # No subtree work: the whole bucket feeds the top pass.  Its
+            # spill files stay until the very end when checkpointing (the
+            # top pass is redone on resume).
+            bucket_batch = spill.load(bucket)
+            if not checkpointing:
+                spill.delete(bucket)
+            top_inputs.append(
+                (leaf_lvl if leaf_lvl >= 0 else b_levels, bucket_batch)
             )
-            recorded.extend(nodes)
+            continue
+
+        done_json, done_npz = _bucket_done_paths(spill_dir, bucket)
+        if checkpointing and os.path.exists(done_json):
+            # Resume: this bucket's subtree is already on disk.
+            with open(done_json) as f:
+                done = json.load(f)
+            recorded.extend(
+                (NodeId(int(v)), int(c)) for v, c in done["nodes"]
+            )
+            payload = np.load(done_npz)
+            residual = PointsBatch(
+                position=payload["position"],
+                attributes={
+                    k[5:]: payload[k]
+                    for k in payload.files if k.startswith("attr_")
+                },
+            )
             top_inputs.append((b_levels, residual))
-        else:
-            # The bucket node itself is a leaf at level B.
-            top_inputs.append((b_levels, bucket_batch))
+            continue
+
+        bucket_batch = spill.load(bucket)
+        residual, nodes = _build_bucket_subtree(
+            output_directory,
+            bucket_batch,
+            bucket_path=bucket,
+            bucket_level=b_levels,
+            root_cube=root_cube,
+            resolution=resolution,
+            depth_cap=depth_cap,
+        )
+        recorded.extend(nodes)
+        top_inputs.append((b_levels, residual))
+        if checkpointing:
+            # Persist residual + recorded nodes BEFORE deleting the spill:
+            # a crash in between just reprocesses this bucket (idempotent —
+            # node files are rewritten identically).
+            np.savez(
+                done_npz, position=residual.position,
+                **{f"attr_{k}": v for k, v in residual.attributes.items()},
+            )
+            with open(done_json, "w") as f:
+                json.dump(
+                    {"nodes": [[str(nid.value), c] for nid, c in nodes]}, f
+                )
+        spill.delete(bucket)
     shutil.rmtree(spill_dir, ignore_errors=True)
 
     # --- shallow top: levels b_levels..0 ------------------------------------

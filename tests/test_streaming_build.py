@@ -100,3 +100,75 @@ def test_streaming_bucket_levels_variants(tmp_path):
     )
     for b in (1, 3):
         _compare(tmp_path / f"b{b}", batch, 0.001, bucket_levels=b)
+
+
+def test_streaming_resume_after_crash(tmp_path, monkeypatch):
+    """A streaming build killed mid-bucket resumes from its spill-directory
+    checkpoint and produces byte-identical output to an uninterrupted
+    build (SURVEY §5 failure/recovery)."""
+    import os
+
+    import numpy as np
+
+    from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+    from point_cloud_viewer_tpu.octree import streaming as S
+
+    rng = np.random.default_rng(77)
+    n = 1_200_000  # 8 buckets of ~150k points: every bucket splits
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 64.0,
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+
+    ref_dir = str(tmp_path / "uninterrupted")
+    S.build_octree_streaming(ref_dir, 0.01, batch, bucket_levels=1)
+
+    crash_dir = str(tmp_path / "crashy")
+    spill = str(tmp_path / "spill")
+    real_build = S._build_bucket_subtree
+    calls = {"n": 0}
+
+    def exploding(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("simulated crash")
+        return real_build(*args, **kwargs)
+
+    monkeypatch.setattr(S, "_build_bucket_subtree", exploding)
+    try:
+        S.build_octree_streaming(
+            crash_dir, 0.01, batch, bucket_levels=1, spill_directory=spill
+        )
+        raise AssertionError("expected the simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(S, "_build_bucket_subtree", real_build)
+
+    # Checkpoint state exists: spill marker + at least one finished bucket.
+    assert os.path.exists(os.path.join(spill, S._SPILL_MARKER))
+    assert any(f.startswith("_done_b") for f in os.listdir(spill))
+
+    # Resume with the same call; data arg is still required by the API but
+    # must NOT be re-read (pass 2 is skipped): hand in a poisoned iterator.
+    def poisoned():
+        raise AssertionError("resume must not re-stream the input")
+        yield  # pragma: no cover
+
+    from point_cloud_viewer_tpu.math.geometry import Aabb
+
+    result = S.build_octree_streaming(
+        crash_dir, 0.01, poisoned(),
+        bounding_box=Aabb.bounding_points(batch.position),
+        bucket_levels=1, spill_directory=spill,
+    )
+    assert result.num_points == n
+
+    files_a = sorted(os.listdir(ref_dir))
+    files_b = sorted(os.listdir(crash_dir))
+    assert files_a == files_b
+    for f in files_a:
+        with open(os.path.join(ref_dir, f), "rb") as fa:
+            a = fa.read()
+        with open(os.path.join(crash_dir, f), "rb") as fb:
+            b = fb.read()
+        assert a == b, f
