@@ -45,6 +45,13 @@ def main(argv=None) -> int:
         help="Bounded-memory out-of-core build (for clouds larger than RAM).",
     )
     parser.add_argument("--bucket_levels", type=int, default=2)
+    parser.add_argument(
+        "--spill_directory",
+        default=None,
+        help="Spill directory for --streaming builds; giving one makes the "
+        "build RESUMABLE (re-run the same command after a crash to "
+        "continue from the last finished bucket).",
+    )
     args = parser.parse_args(argv)
 
     if args.streaming:
@@ -57,6 +64,7 @@ def main(argv=None) -> int:
             PlyReader(args.input),
             attributes=args.attributes,
             bucket_levels=args.bucket_levels,
+            spill_directory=args.spill_directory,
         )
     else:
         from ..octree.builder import build_octree_from_file
