@@ -131,6 +131,9 @@ def _configure(h: ctypes.CDLL) -> None:
         POINTER(c_double), c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    h.gather_rows.argtypes = [
+        ctypes.c_void_p, POINTER(c_int64), c_int64, c_int64, ctypes.c_void_p,
+    ]
     h.group_by_level.argtypes = [
         POINTER(c_uint8), c_int64, ctypes.c_int, POINTER(c_int64),
         POINTER(c_int64),
@@ -384,6 +387,23 @@ def group_levels_full(
     )
     return (idx_by_level, level_starts, node_paths, node_counts,
             node_offsets, leaf_paths, leaf_offsets)
+
+
+def take_rows(arr: np.ndarray, idx: np.ndarray) -> Optional[np.ndarray]:
+    """out[i] = arr[idx[i]] along axis 0 (any fixed-itemsize layout), or
+    None when the library is unavailable."""
+    h = lib()
+    if h is None:
+        return None
+    arr = np.ascontiguousarray(arr)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    row = int(arr.dtype.itemsize * int(np.prod(arr.shape[1:], dtype=np.int64)))
+    out = np.empty((len(idx),) + arr.shape[1:], dtype=arr.dtype)
+    h.gather_rows(
+        arr.ctypes.data_as(ctypes.c_void_p), _ptr(idx, ctypes.c_int64),
+        len(idx), row, out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
 
 
 def group_by_level(

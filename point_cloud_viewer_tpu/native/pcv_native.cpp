@@ -515,6 +515,39 @@ void group_levels_full(const uint64_t* codes, const uint8_t* final_lv,
     }
 }
 
+// Generic row gather: out[i] = src[idx[i]] for fixed-size rows.  numpy's
+// fancy indexing pays significant per-row overhead at small row sizes
+// (3-byte colors); this is a tight memcpy loop with common sizes inlined.
+
+void gather_rows(const uint8_t* src, const int64_t* idx, int64_t n,
+                 int64_t row_size, uint8_t* out) {
+    switch (row_size) {
+        case 1:
+            for (int64_t i = 0; i < n; ++i) out[i] = src[idx[i]];
+            return;
+        case 3:
+            for (int64_t i = 0; i < n; ++i)
+                std::memcpy(out + 3 * i, src + 3 * idx[i], 3);
+            return;
+        case 4:
+            for (int64_t i = 0; i < n; ++i)
+                std::memcpy(out + 4 * i, src + 4 * idx[i], 4);
+            return;
+        case 8:
+            for (int64_t i = 0; i < n; ++i)
+                std::memcpy(out + 8 * i, src + 8 * idx[i], 8);
+            return;
+        case 24:
+            for (int64_t i = 0; i < n; ++i)
+                std::memcpy(out + 24 * i, src + 24 * idx[i], 24);
+            return;
+        default:
+            for (int64_t i = 0; i < n; ++i)
+                std::memcpy(out + row_size * i, src + row_size * idx[i],
+                            (size_t)row_size);
+    }
+}
+
 // Stable counting sort of point indices by tree level (u8, values <= L):
 // idx_out[starts[l] .. starts[l+1]) = indices with lv == l, ascending.
 void group_by_level(const uint8_t* lv, int64_t n, int num_levels,

@@ -581,9 +581,10 @@ def _write_levels(
                     batch.position[global_idx], pt_min, pt_edge, encoding
                 )
                 del pt_min, pt_edge
-            attrs = {
-                name: arr[global_idx] for name, arr in batch.attributes.items()
-            }
+            attrs = {}
+            for name, arr in batch.attributes.items():
+                taken = native.take_rows(arr, global_idx)
+                attrs[name] = arr[global_idx] if taken is None else taken
             chunk_futures = []
             for i in range(node_start, node_end):
                 node_id = NodeId.from_level_index(level, int(nodes.paths[i]))

@@ -152,3 +152,16 @@ def test_native_tree_levels_matches_numpy_pipeline(nat):
         np.testing.assert_array_equal(got[lvl].paths, expected[lvl].paths)
         np.testing.assert_array_equal(got[lvl].offsets, expected[lvl].offsets)
         np.testing.assert_array_equal(got[lvl].idx, expected[lvl].idx)
+
+
+def test_take_rows_matches_fancy_index(nat):
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 1000, 500).astype(np.int64)
+    for arr in (
+        rng.integers(0, 256, (1000, 3), dtype=np.uint8),
+        rng.random(1000).astype(np.float32),
+        rng.random((1000, 3)),
+        rng.integers(0, 2**62, 1000).astype(np.uint64),
+    ):
+        got = nat.take_rows(arr, idx)
+        np.testing.assert_array_equal(got, arr[idx])
