@@ -353,14 +353,28 @@ class LatLngRect:
         lo, hi, span = _min_lng_interval(lng)
         if span > np.pi / 2:
             return cls(-np.pi / 2, np.pi / 2, -np.pi, np.pi, full_lng=True)
-        # A great-circle arc between two points at the same latitude phi
-        # bulges poleward by <= (span/2)^2 / 2 * tan|phi| + O(span^4).
         max_abs = max(abs(lat_lo), abs(lat_hi))
         if max_abs > 1.45:  # within ~7deg of a pole: give up on tightness
             return cls(-np.pi / 2, np.pi / 2, -np.pi, np.pi, full_lng=True)
-        bulge = (span / 2.0) ** 2 * np.tan(max_abs) * 0.6 + 1e-9
+        # EXACT poleward bound for any point of the convex hull: for
+        # p = sum w_i c_i,  tan(lat(p)) = z(p) / h(p) where h is the
+        # horizontal norm.  z is linear, and with all horizontal
+        # projections within span/2 of the interval bisector,
+        # h(p) >= cos(span/2) * sum w_i h_i, so by the mediant inequality
+        #   tan(lat(p)) <= max_i tan(lat_i) / cos(span/2).
+        # (Toward the equator no pad is needed: shrinking h pushes a
+        # southern z further south, and vice versa.)
+        inv_cos = 1.0 / np.cos(span / 2.0)
+        pad_hi = (
+            np.arctan(np.tan(lat_hi) * inv_cos) - lat_hi if lat_hi > 0 else 0.0
+        )
+        pad_lo = (
+            lat_lo - np.arctan(np.tan(lat_lo) * inv_cos) if lat_lo < 0 else 0.0
+        )
+        eps = 1e-9
         return cls(
-            max(lat_lo - bulge, -np.pi / 2), min(lat_hi + bulge, np.pi / 2),
+            max(lat_lo - pad_lo - eps, -np.pi / 2),
+            min(lat_hi + pad_hi + eps, np.pi / 2),
             lo, hi,
         )
 

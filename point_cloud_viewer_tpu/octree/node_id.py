@@ -142,6 +142,21 @@ def unpack_ids(ids) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return levels, hi, lo
 
 
+def shifted_prefix(
+    path_hi: np.ndarray, path_lo: np.ndarray, shift: np.ndarray
+) -> np.ndarray:
+    """(hi << 64 | lo) >> shift, low 64 bits, vectorized for shift in
+    [0, 120]: the two-word right shift shared by cube descent and the
+    coarse cull index."""
+    shift = np.asarray(shift)
+    ge = shift >= 64
+    s_hi = np.where(ge, shift - 64, 0).astype(np.uint64)
+    s_lo = np.where(ge, 0, shift).astype(np.uint64)
+    carry_n = np.where(shift == 0, 0, 64 - shift).clip(min=0).astype(np.uint64)
+    carry = np.where((shift > 0) & ~ge, path_hi << carry_n, np.uint64(0))
+    return np.where(ge, path_hi >> s_hi, (path_lo >> s_lo) | carry)
+
+
 def bounding_cubes(levels: np.ndarray, paths: np.ndarray, root: Cube):
     """Vectorized find_bounding_cube over single-word u64 paths (levels <=
     21, the builder's range): returns (mins (K, 3) f64, edges (K,) f64).
@@ -172,21 +187,7 @@ def bounding_cubes2(
         active = levels >= d
         half = np.where(active, edges / 2.0, edges)
         shift = (3 * (levels - d)).clip(min=0)
-        # 128-bit right shift by `shift` (0..117), low 3 bits:
-        #   shift >= 64 -> hi >> (shift - 64)
-        #   shift <  64 -> lo >> shift | hi << (64 - shift)   (shift 0 safe:
-        #     the hi part is masked away by & 7 below only when hi bits
-        #     cannot reach — guard with where instead)
-        ge = shift >= 64
-        s_hi = np.where(ge, shift - 64, 0).astype(np.uint64)
-        s_lo = np.where(ge, 0, shift).astype(np.uint64)
-        from_hi = path_hi >> s_hi
-        carry_n = np.where(shift == 0, 0, 64 - shift).clip(min=0).astype(np.uint64)
-        carry = np.where(
-            (shift > 0) & ~ge, path_hi << carry_n, np.uint64(0)
-        )
-        from_lo = (path_lo >> s_lo) | carry
-        child = np.where(ge, from_hi, from_lo) & np.uint64(7)
+        child = shifted_prefix(path_hi, path_lo, shift) & np.uint64(7)
         bits = np.stack(
             [(child >> np.uint64(2)) & np.uint64(1),
              (child >> np.uint64(1)) & np.uint64(1),

@@ -111,7 +111,14 @@ class Octree:
             self.node_ids = _LazyNodeIds(self.levels, self.path_hi, self.path_lo)
             self._index: Optional[Dict[int, int]] = None  # built on demand
         else:
-            meta = data_provider.meta_proto()
+            # Decode the bytes already fetched (an HTTP provider should not
+            # download meta.pb twice just because the fast parse declined).
+            if raw is not None:
+                from ..protos.meta import MetaProto
+
+                meta = MetaProto.decode(raw)
+            else:
+                meta = data_provider.meta_proto()
             if meta.octree is None:
                 raise ValueError("No octree meta found")
             self.meta_version = meta.version
@@ -156,17 +163,14 @@ class Octree:
         return cls(OnDiskDataProvider(directory))
 
     def _build_coarse_index(self) -> None:
+        from .node_id import shifted_prefix
+
         lc = _COARSE_LEVEL
         lv = self.levels.astype(np.int64)
         deep = lv >= lc
         # Level-lc ancestor prefix from the two-word path.
         shift = (3 * (lv - lc)).clip(min=0)
-        ge = shift >= 64
-        s_hi = np.where(ge, shift - 64, 0).astype(np.uint64)
-        s_lo = np.where(ge, 0, shift).astype(np.uint64)
-        carry_n = np.where(shift == 0, 0, 64 - shift).clip(min=0).astype(np.uint64)
-        carry = np.where((shift > 0) & ~ge, self.path_hi << carry_n, np.uint64(0))
-        pref = np.where(ge, self.path_hi >> s_hi, (self.path_lo >> s_lo) | carry)
+        pref = shifted_prefix(self.path_hi, self.path_lo, shift)
 
         deep_idx = np.nonzero(deep)[0]
         order = np.argsort(pref[deep_idx], kind="stable")

@@ -108,13 +108,15 @@ class _BucketSpill:
 _SPILL_MARKER = "_spill_complete.json"
 
 
-def _checkpoint_params(resolution, bounding_box, b_levels, depth_cap) -> dict:
+def _checkpoint_params(resolution, bounding_box, b_levels, depth_cap,
+                       attributes) -> dict:
     return {
         "resolution": float(resolution),
         "bbox_min": [float(v) for v in bounding_box.mins],
         "bbox_max": [float(v) for v in bounding_box.maxs],
         "bucket_levels": int(b_levels),
         "depth_cap": int(depth_cap),
+        "attributes": sorted(attributes) if attributes is not None else None,
     }
 
 
@@ -173,7 +175,9 @@ def build_octree_streaming(
     os.makedirs(spill_dir, exist_ok=True)
     spill = _BucketSpill(spill_dir, num_buckets)
 
-    params = _checkpoint_params(resolution, bounding_box, b_levels, depth_cap)
+    params = _checkpoint_params(
+        resolution, bounding_box, b_levels, depth_cap, attributes
+    )
     marker_path = os.path.join(spill_dir, _SPILL_MARKER)
     resumed = False
     if spill_directory is not None and os.path.exists(marker_path):
@@ -196,6 +200,19 @@ def build_octree_streaming(
 
     # --- PASS 2: spill by top bucket bits ----------------------------------
     if not resumed:
+        # A crash DURING a previous spill pass leaves partial append-only
+        # bucket files with no marker; appending onto them would duplicate
+        # (and possibly misalign) points.  Start from a clean slate —
+        # removing only files matching OUR naming patterns.
+        import re
+
+        ours = re.compile(r"^(b\d{4}\..+|_done_b\d{4}\.(json|npz))$")
+        for name in os.listdir(spill_dir):
+            if ours.match(name) or name == _SPILL_MARKER:
+                try:
+                    os.remove(os.path.join(spill_dir, name))
+                except OSError:
+                    pass
         total = 0
         for batch in _iter_batches(data):
             if attributes is not None:
@@ -325,7 +342,6 @@ def build_octree_streaming(
                     {"nodes": [[str(nid.value), c] for nid, c in nodes]}, f
                 )
         spill.delete(bucket)
-    shutil.rmtree(spill_dir, ignore_errors=True)
 
     # --- shallow top: levels b_levels..0 ------------------------------------
     top_nodes = _finish_top(
@@ -336,6 +352,10 @@ def build_octree_streaming(
     meta = _meta_proto(resolution, bounding_box, recorded)
     with open(os.path.join(output_directory, META_FILENAME), "wb") as f:
         f.write(meta.encode())
+    # Success: the checkpoint (marker, done-records, retained no-subtree
+    # spill files) is only cleared now, so a crash anywhere above — the
+    # top pass and meta write included — resumes instead of restarting.
+    shutil.rmtree(spill_dir, ignore_errors=True)
     return BuildResult(
         output_directory, root_cube, resolution, bounding_box, recorded, depth_cap
     )

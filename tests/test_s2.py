@@ -187,3 +187,32 @@ def test_latlng_rect_wraps_antimeridian():
     )
     assert rect.intersects_cells(near).all()
     assert not rect.intersects_cells(far).any()
+
+
+def test_latlng_rect_covers_interior_bulge():
+    """Regression: the rect bound must cover INTERIOR points of the convex
+    hull, whose latitude exceeds every corner's (great-circle bulge).  The
+    exact mediant bound tan(lat)/cos(span/2) guarantees it."""
+    import numpy as np
+
+    from point_cloud_viewer_tpu.math import s2
+    from point_cloud_viewer_tpu.math.geometry import Aabb
+
+    box = Aabb(np.array([1000.0, -900.0, 100.0]),
+               np.array([2000.0, 900.0, 100.0001]))
+    rect = s2.LatLngRect.from_points(box.corners())
+    # Sample the hull densely; every sample's latlng must be inside.
+    rng = np.random.default_rng(3)
+    w = rng.dirichlet(np.ones(8), size=20_000)
+    pts = w @ box.corners()
+    lat, lng = s2.latlng_of(pts)
+    assert lat.max() <= rect.lat_hi + 1e-12
+    assert lat.min() >= rect.lat_lo - 1e-12
+    # and symmetric for a southern box
+    box_s = Aabb(np.array([1000.0, -900.0, -100.0001]),
+                 np.array([2000.0, 900.0, -100.0]))
+    rect_s = s2.LatLngRect.from_points(box_s.corners())
+    pts_s = w @ box_s.corners()
+    lat_s, _ = s2.latlng_of(pts_s)
+    assert lat_s.min() >= rect_s.lat_lo - 1e-12
+    assert lat_s.max() <= rect_s.lat_hi + 1e-12

@@ -172,3 +172,47 @@ def test_streaming_resume_after_crash(tmp_path, monkeypatch):
         with open(os.path.join(crash_dir, f), "rb") as fb:
             b = fb.read()
         assert a == b, f
+
+
+def test_streaming_restart_after_spill_crash(tmp_path):
+    """A crash DURING the spill pass (partial bucket files, no completion
+    marker) must not corrupt the rerun: stale spill files are cleared and
+    the rebuilt output is byte-identical to a clean build."""
+    import os
+
+    import numpy as np
+
+    from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+    from point_cloud_viewer_tpu.octree import streaming as S
+
+    rng = np.random.default_rng(13)
+    n = 200_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 32.0,
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+    ref_dir = str(tmp_path / "clean")
+    S.build_octree_streaming(ref_dir, 0.01, batch, bucket_levels=1)
+
+    # Simulate an interrupted spill pass: partial bucket files, no marker.
+    spill = str(tmp_path / "spill")
+    os.makedirs(spill)
+    with open(os.path.join(spill, "b0003.position"), "wb") as f:
+        f.write(b"\x00" * 1234)  # truncated garbage from the dead run
+    with open(os.path.join(spill, "b0003.color"), "wb") as f:
+        f.write(b"\x07" * 99)
+
+    out_dir = str(tmp_path / "rebuilt")
+    S.build_octree_streaming(
+        out_dir, 0.01, batch, bucket_levels=1, spill_directory=spill
+    )
+    files_a = sorted(os.listdir(ref_dir))
+    files_b = sorted(os.listdir(out_dir))
+    assert files_a == files_b
+    for f in files_a:
+        with open(os.path.join(ref_dir, f), "rb") as fa, open(
+            os.path.join(out_dir, f), "rb"
+        ) as fb:
+            assert fa.read() == fb.read(), f
+    # Success clears the checkpoint.
+    assert not os.path.exists(spill) or not os.listdir(spill)
