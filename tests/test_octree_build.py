@@ -288,3 +288,45 @@ def test_hierarchical_cull_matches_flat(tmp_path):
     octree._build_coarse_index()
     top_order, top_sizes = octree.visible_nodes_with_sizes(frustum, max_nodes=50)
     np.testing.assert_allclose(top_sizes, flat_sizes[:50], rtol=1e-12)
+
+
+@pytest.mark.parametrize("case", ["identical", "two_values", "collinear", "planar"])
+def test_pathological_clouds_native_equals_numpy(tmp_path, case):
+    """Adversarial inputs (degenerate geometry, massive duplicate runs)
+    must build byte-identically through the native kernels and the pure
+    numpy fallbacks."""
+    import os
+
+    from point_cloud_viewer_tpu import native
+
+    rng = np.random.default_rng(41)
+    n = 150_000  # above every native-path threshold
+    if case == "identical":
+        pos = np.tile(np.array([[3.0, 4.0, 5.0]]), (n, 1))
+    elif case == "two_values":
+        pos = np.where(
+            (np.arange(n) % 2 == 0)[:, None],
+            np.array([[1.0, 1.0, 1.0]]), np.array([[9.0, 9.0, 9.0]]),
+        )
+    elif case == "collinear":
+        t = rng.random(n)
+        pos = np.stack([t * 10, t * 10, t * 10], axis=1)
+    else:  # planar
+        pos = np.stack([rng.random(n) * 10, rng.random(n) * 10,
+                        np.zeros(n)], axis=1)
+    batch = PointsBatch(
+        position=pos,
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+    a = str(tmp_path / "native")
+    b = str(tmp_path / "numpy")
+    build_octree(a, 0.01, batch)
+    with native.disabled():
+        build_octree(b, 0.01, batch)
+    files_a, files_b = sorted(os.listdir(a)), sorted(os.listdir(b))
+    assert files_a == files_b
+    for f in files_a:
+        with open(os.path.join(a, f), "rb") as fa, open(
+            os.path.join(b, f), "rb"
+        ) as fb:
+            assert fa.read() == fb.read(), (case, f)
