@@ -545,6 +545,7 @@ def _write_levels(
     recorded: List[Tuple[NodeId, int]] = []
     pool = ThreadPoolExecutor(max_workers=min(32, max(4, os.cpu_count() or 4)))
     order = np.asarray(order, dtype=np.int64)
+    pending_futures: list = []
     for level in sorted(final_nodes):
         nodes = final_nodes[level]
         k = len(nodes.paths)
@@ -598,11 +599,15 @@ def _write_levels(
                         {name: arr[a:b] for name, arr in attrs.items()},
                     )
                 )
-            # Finish this chunk's writes before encoding the next, so at
-            # most one chunk's buffers are alive at a time.
-            for f in chunk_futures:
+            # Double-buffer: wait on the PREVIOUS chunk's writes before
+            # encoding the one after next, so file IO overlaps the next
+            # chunk's encode while at most two chunks' buffers are alive.
+            for f in pending_futures:
                 f.result()
+            pending_futures = chunk_futures
             node_start = node_end
+    for f in pending_futures:
+        f.result()
     pool.shutdown()
     return recorded
 

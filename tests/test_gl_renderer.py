@@ -307,3 +307,33 @@ def test_gl_agrees_with_software_rasterizer():
     union = (occ_sw | occ_gl).sum()
     assert union > 20  # scene actually visible in both
     assert inter / union > 0.75, (inter, union)
+
+
+def test_alpha_blending(renderer):
+    """alpha < 1 enables blending: a point drawn over the background
+    produces a mix, not the pure point color."""
+    t = np.full((300, 3), 0.5)
+    colors = np.full((300, 3), 255, dtype=np.uint8)
+    node = renderer.make_node_buffer(
+        (t * 255).astype(np.uint8), colors, PositionEncoding.UINT8,
+        np.zeros(3), 2.0,
+    )
+    eye = np.array([1.0, -3.0, 1.0])
+    clip = _look_at_clip(eye, np.array([1.0, 1.0, 1.0]))
+
+    def brightest(alpha):
+        renderer.alpha = alpha
+        renderer.begin_frame()
+        renderer.draw_node(node, clip, camera_origin=eye)
+        img = renderer.read_frame()
+        bg = img[0, 0, 0]
+        mask = img[:, :, 0] != bg
+        return int(img[:, :, 0][mask].max()) if mask.any() else 0
+
+    opaque = brightest(1.0)
+    half = brightest(0.5)
+    renderer.alpha = 1.0
+    node.destroy()
+    assert opaque >= 250
+    # Blended: roughly halfway between background (~17) and 255.
+    assert 100 <= half <= 180, half
