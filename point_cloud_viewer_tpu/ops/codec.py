@@ -102,6 +102,21 @@ def decode_positions(
     encoding: PositionEncoding,
 ) -> np.ndarray:
     """Inverse of encode_positions -> (N, 3) f64 world positions."""
+    if (
+        len(encoded) >= 10_000
+        and encoding in (PositionEncoding.UINT8, PositionEncoding.UINT16)
+    ):
+        # Query hot path: one fused native pass.  Results may differ from
+        # the numpy expression below by 1 ulp (the compiler contracts the
+        # multiply-add into an FMA) — far below the codec's guaranteed
+        # `resolution` tolerance and the equivalence suite's thresholds.
+        from .. import native
+
+        out = native.decode_positions(
+            np.ascontiguousarray(encoded), cube_min, edge_length
+        )
+        if out is not None:
+            return out
     edge = np.asarray(edge_length, dtype=np.float64)
     if edge.ndim == 1:
         edge = edge[:, None]
