@@ -21,6 +21,11 @@ def main(argv=None) -> int:
         help="Render through the real OpenGL pipeline (surfaceless EGL; "
         "GLSL shader-side decode) instead of the software rasterizer.",
     )
+    parser.add_argument(
+        "--show_octree_nodes", action="store_true",
+        help="Overlay node-cube outlines (the reference's box_drawer "
+        "toggle, sdl_viewer 'o' key).",
+    )
     args = parser.parse_args(argv)
 
     from ..viewer.render_loop import run_headless
@@ -32,6 +37,7 @@ def main(argv=None) -> int:
         height=args.height,
         screenshot_path=args.screenshot,
         use_gl=args.gl,
+        show_octree_nodes=args.show_octree_nodes,
     )
     print(
         f"Final frame: {stats.nodes_drawn}/{stats.visible_nodes} nodes, "

@@ -242,6 +242,7 @@ def run_headless(
     screenshot_path: Optional[str] = None,
     frame_pacing_s: float = 0.01,
     use_gl: bool = False,
+    show_octree_nodes: bool = False,
 ) -> FrameStats:
     """Drive the full viewer loop headlessly: orbit the camera around the
     cloud, stream nodes, adapt the budget, and optionally save the final
@@ -259,6 +260,7 @@ def run_headless(
         renderer = GlPointCloudRenderer(octree, width=width, height=height)
     else:
         renderer = PointCloudRenderer(octree, width=width, height=height)
+    renderer.show_octree_nodes = show_octree_nodes
     try:
         stats = FrameStats()
         last = time.perf_counter()

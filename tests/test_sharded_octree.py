@@ -99,3 +99,28 @@ def test_use_device_build_single_point(tmp_path):
             open(os.path.join(host_dir, name), "rb").read()
             == open(os.path.join(dev_dir, name), "rb").read()
         )
+
+
+@pytest.mark.parametrize("n_devices", [2, 3, 5])
+def test_sharded_build_nonpow2_meshes(tmp_path, n_devices):
+    """The all-to-all Morton exchange must work over ANY mesh size, not
+    just powers of two; output stays byte-identical to single-chip."""
+    import os
+
+    rng = np.random.default_rng(500 + n_devices)
+    n = 60_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 30.0,
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+    host_dir = str(tmp_path / "host")
+    mesh_dir = str(tmp_path / "mesh")
+    build_octree(host_dir, 0.01, batch)
+    build_octree(mesh_dir, 0.01, batch, mesh=_cpu_mesh(n_devices))
+    fa, fb = sorted(os.listdir(host_dir)), sorted(os.listdir(mesh_dir))
+    assert fa == fb
+    for f in fa:
+        with open(os.path.join(host_dir, f), "rb") as a, open(
+            os.path.join(mesh_dir, f), "rb"
+        ) as b:
+            assert a.read() == b.read(), (n_devices, f)

@@ -240,3 +240,21 @@ def test_nodes_data_batched_posts(served_octree):
     with ThreadPoolExecutor(max_workers=3) as pool:
         blobs = list(pool.map(post, batches))
     assert all(len(b) > 0 for b in blobs if b is not None)
+
+
+def test_xray_client_has_pan_zoom_keyboard():
+    """The served xray client carries the reference controller behaviors
+    (xray/client/control.ts): zoom-around-cursor, zoom->level selection,
+    and WASD/arrow continuous panning."""
+    import os
+
+    client = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "point_cloud_viewer_tpu", "xray", "client.html",
+    )
+    with open(client) as f:
+        html = f.read()
+    assert "Zoom around the cursor" in html
+    assert "pickLevel" in html
+    for code in ("KeyW", "KeyA", "KeyS", "KeyD", "ArrowUp", "ArrowDown"):
+        assert code in html

@@ -142,3 +142,30 @@ def test_monochrome_purplish_endpoints():
     hi = monochrome(np.array([1.0], dtype=np.float32))[0]
     np.testing.assert_array_equal(lo, [int(0.8 * 255), int(0.8 * 255), 255, 255])
     np.testing.assert_array_equal(hi, [0, 0, 0, 255])
+
+
+def test_intensity_strategy_drops_negative_points():
+    """Documented deviation: the reference ABORTS a batch mid-loop on the
+    first negative intensity (generation.rs), silently keeping earlier
+    points of the batch; we treat that as a bug and instead drop exactly
+    the negative-intensity points, keeping all valid ones."""
+    import numpy as np
+
+    from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+    from point_cloud_viewer_tpu.math.geometry import Aabb
+    from point_cloud_viewer_tpu.xray.generation import IntensityStrategy
+
+    s = IntensityStrategy(min_intensity=0.1, max_intensity=10.0)
+    n = 64
+    pos = np.zeros((n, 3))
+    pos[:, 0] = np.linspace(0.5, 31.5, n) % 32
+    pos[:, 1] = 16.0
+    intensity = np.full(n, 5.0, dtype=np.float32)
+    intensity[10] = -1.0  # poisoned point mid-batch
+    batch = PointsBatch(position=pos, attributes={"intensity": intensity})
+    bbox = Aabb(np.zeros(3), np.full(3, 32.0))
+    s.process(batch, bbox, image_size=32)
+    img = s.render(32)
+    painted = (img[:, :, 3] > 0).sum()
+    # All valid points paint; the negative one does not abort the batch.
+    assert painted >= 30, painted
