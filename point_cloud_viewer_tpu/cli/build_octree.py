@@ -54,6 +54,16 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
+    if args.streaming and args.mesh:
+        parser.error(
+            "--mesh is not supported with --streaming (the out-of-core "
+            "builder shards over disk buckets instead of devices)"
+        )
+    if args.spill_directory and not args.streaming:
+        parser.error("--spill_directory requires --streaming")
+    if args.use_device and args.streaming:
+        parser.error("--use_device is not supported with --streaming")
+
     if args.streaming:
         from ..io.ply import PlyReader
         from ..octree.streaming import build_octree_streaming

@@ -56,7 +56,9 @@ def _build() -> bool:
 
 def lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
-    if _disabled or os.environ.get("PCV_DISABLE_NATIVE"):
+    if _disabled or os.environ.get("PCV_DISABLE_NATIVE", "").lower() in (
+        "1", "true", "yes", "on"
+    ):
         return None
     with _lock:
         if _lib is not None or _tried:
@@ -133,10 +135,6 @@ def _configure(h: ctypes.CDLL) -> None:
     ]
     h.gather_rows.argtypes = [
         ctypes.c_void_p, POINTER(c_int64), c_int64, c_int64, ctypes.c_void_p,
-    ]
-    h.group_by_level.argtypes = [
-        POINTER(c_uint8), c_int64, ctypes.c_int, POINTER(c_int64),
-        POINTER(c_int64),
     ]
     h.group_levels_full.argtypes = [
         POINTER(c_uint64), POINTER(c_uint8), POINTER(c_uint8), c_int64,
@@ -404,24 +402,6 @@ def take_rows(arr: np.ndarray, idx: np.ndarray) -> Optional[np.ndarray]:
         len(idx), row, out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
-
-
-def group_by_level(
-    levels: np.ndarray, num_levels: int
-) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """Stable counting sort of indices by u8 level -> (idx, starts)."""
-    h = lib()
-    if h is None:
-        return None
-    levels = np.ascontiguousarray(levels, dtype=np.uint8)
-    n = len(levels)
-    idx = np.empty(n, dtype=np.int64)
-    starts = np.empty(num_levels + 1, dtype=np.int64)
-    h.group_by_level(
-        _ptr(levels, ctypes.c_uint8), n, ctypes.c_int(num_levels),
-        _ptr(idx, ctypes.c_int64), _ptr(starts, ctypes.c_int64),
-    )
-    return idx, starts
 
 
 _GATHER_ENCODE = {

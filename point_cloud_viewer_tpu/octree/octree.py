@@ -107,6 +107,8 @@ class Octree:
             self.path_hi = id_hi & mask56
             self.path_lo = id_lo
             self.num_points = num_points
+            if len(enc) and (enc.min() < 1 or enc.max() > 4):
+                raise ValueError("PositionEncoding is invalid")
             self._encoding_codes = enc
             self.node_ids = _LazyNodeIds(self.levels, self.path_hi, self.path_lo)
             self._index: Optional[Dict[int, int]] = None  # built on demand
@@ -134,7 +136,8 @@ class Octree:
                 [n.num_points for n in meta.octree.nodes], dtype=np.int64
             )
             self._encoding_codes = np.array(
-                [int(n.position_encoding) for n in meta.octree.nodes],
+                [int(PositionEncoding.from_proto(n.position_encoding))
+                 for n in meta.octree.nodes],
                 dtype=np.uint8,
             )
             self._index = {n.value: i for i, n in enumerate(ids)}
@@ -156,7 +159,12 @@ class Octree:
         # src/octree/mod.rs:228-283).
         self._coarse = None
         if len(self.levels) >= _HIER_THRESHOLD:
-            self._build_coarse_index()
+            from .. import native
+
+            # The hierarchical path only runs through the native kernel;
+            # building the index under numpy fallbacks is wasted open time.
+            if native.available():
+                self._build_coarse_index()
 
     @classmethod
     def from_directory(cls, directory: str) -> "Octree":
@@ -266,23 +274,28 @@ class Octree:
                 from .builder import _ranges_to_indices
 
                 member_pos = _ranges_to_indices(ranges)
-                subset = np.concatenate(
-                    [c["shallow_idx"], c["member_idx"][member_pos]]
-                )
-                # Phase 2: full cull + LOD priority over the survivors only.
-                out = native.cull_lod_select(
-                    frustum.clip_from_query, cached.axes, qmin, qmax,
-                    self.cube_mins[subset], self.cube_edges[subset],
-                    self.num_points[subset], dtype=np.float64,
-                    max_out=max_nodes or 0,
-                )
-                if out is not None:
-                    order_s, sizes_s, visible_s = out
-                    count = int(visible_s.sum())
-                    if max_nodes is not None:
-                        count = min(count, max_nodes)
-                    order_s = order_s[:count]
-                    return subset[order_s], sizes_s[order_s]
+                n_subset = len(c["shallow_idx"]) + len(member_pos)
+                # When the frustum sees (nearly) everything, the subset
+                # gather is pure per-frame overhead on top of the same
+                # full cull — fall through to the flat path instead.
+                if n_subset <= 0.6 * len(self.levels):
+                    subset = np.concatenate(
+                        [c["shallow_idx"], c["member_idx"][member_pos]]
+                    )
+                    # Phase 2: cull + LOD priority over the survivors only.
+                    out = native.cull_lod_select(
+                        frustum.clip_from_query, cached.axes, qmin, qmax,
+                        self.cube_mins[subset], self.cube_edges[subset],
+                        self.num_points[subset], dtype=np.float64,
+                        max_out=max_nodes or 0,
+                    )
+                    if out is not None:
+                        order_s, sizes_s, visible_s = out
+                        count = int(visible_s.sum())
+                        if max_nodes is not None:
+                            count = min(count, max_nodes)
+                        order_s = order_s[:count]
+                        return subset[order_s], sizes_s[order_s]
 
         out = native.cull_lod_select(
             frustum.clip_from_query, cached.axes, qmin, qmax,

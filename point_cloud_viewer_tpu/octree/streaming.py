@@ -181,8 +181,11 @@ def build_octree_streaming(
     marker_path = os.path.join(spill_dir, _SPILL_MARKER)
     resumed = False
     if spill_directory is not None and os.path.exists(marker_path):
-        with open(marker_path) as f:
-            marker = json.load(f)
+        try:
+            with open(marker_path) as f:
+                marker = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            marker = {}  # truncated by a crash mid-write: clean slate below
         if marker.get("params") == params:
             # Resume: the spill pass already completed for this exact build.
             total = int(marker["total"])
@@ -206,7 +209,7 @@ def build_octree_streaming(
         # removing only files matching OUR naming patterns.
         import re
 
-        ours = re.compile(r"^(b\d{4}\..+|_done_b\d{4}\.(json|npz))$")
+        ours = re.compile(r"^(b\d{4,}\..+|_done_b\d{4,}\.(json|npz))$")
         for name in os.listdir(spill_dir):
             if ours.match(name) or name == _SPILL_MARKER:
                 try:
@@ -227,7 +230,10 @@ def build_octree_streaming(
             spill.append(buckets, batch)
             total += len(batch)
         if spill_directory is not None:
-            with open(marker_path, "w") as f:
+            # Atomic: a crash mid-write must not leave truncated JSON that
+            # poisons every later resume attempt.
+            tmp = marker_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump({
                     "params": params,
                     "total": total,
@@ -237,6 +243,7 @@ def build_octree_streaming(
                         for name, dt, dim in (spill._schemas or [])
                     ],
                 }, f)
+            os.replace(tmp, marker_path)
 
     if total == 0:
         meta = _meta_proto(resolution, bounding_box, [])
@@ -299,10 +306,16 @@ def build_octree_streaming(
             continue
 
         done_json, done_npz = _bucket_done_paths(spill_dir, bucket)
+        done_valid = False
         if checkpointing and os.path.exists(done_json):
+            try:
+                with open(done_json) as f:
+                    done = json.load(f)
+                done_valid = True
+            except (json.JSONDecodeError, OSError):
+                done_valid = False  # crashed mid-write: rebuild this bucket
+        if done_valid:
             # Resume: this bucket's subtree is already on disk.
-            with open(done_json) as f:
-                done = json.load(f)
             recorded.extend(
                 (NodeId(int(v)), int(c)) for v, c in done["nodes"]
             )
@@ -333,14 +346,18 @@ def build_octree_streaming(
             # Persist residual + recorded nodes BEFORE deleting the spill:
             # a crash in between just reprocesses this bucket (idempotent —
             # node files are rewritten identically).
-            np.savez(
-                done_npz, position=residual.position,
-                **{f"attr_{k}": v for k, v in residual.attributes.items()},
-            )
-            with open(done_json, "w") as f:
+            with open(done_npz + ".tmp", "wb") as f:
+                np.savez(
+                    f, position=residual.position,
+                    **{f"attr_{k}": v for k, v in residual.attributes.items()},
+                )
+            os.replace(done_npz + ".tmp", done_npz)
+            tmp = done_json + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(
                     {"nodes": [[str(nid.value), c] for nid, c in nodes]}, f
                 )
+            os.replace(tmp, done_json)  # json presence = record complete
         spill.delete(bucket)
 
     # --- shallow top: levels b_levels..0 ------------------------------------
