@@ -548,22 +548,6 @@ void gather_rows(const uint8_t* src, const int64_t* idx, int64_t n,
     }
 }
 
-// Stable counting sort of point indices by tree level (u8, values <= L):
-// idx_out[starts[l] .. starts[l+1]) = indices with lv == l, ascending.
-void group_by_level(const uint8_t* lv, int64_t n, int num_levels,
-                    int64_t* idx_out, int64_t* starts /* num_levels + 1 */) {
-    std::vector<int64_t> count(num_levels, 0);
-    for (int64_t i = 0; i < n; ++i) count[lv[i]]++;
-    int64_t acc = 0;
-    for (int l = 0; l < num_levels; ++l) {
-        starts[l] = acc;
-        acc += count[l];
-        count[l] = starts[l];
-    }
-    starts[num_levels] = acc;
-    for (int64_t i = 0; i < n; ++i) idx_out[count[lv[i]]++] = i;
-}
-
 // ---------------------------------------------------------------------------
 // Host-side frustum cull + LOD select — the interactive-latency twin of
 // ops/culling._cull_core (same SAT relations, same hemicube screen-size
