@@ -410,21 +410,22 @@ class LatLngRect:
 
         # Cell lng interval: minimal covering interval of the 4 corners,
         # padded by the edge angle; wide/polar cells widen to full.
+        # Vectorized over cells (the 278k-cell containers of the query path
+        # would otherwise pay seconds of Python loop per wide query): sort
+        # the (K, 4) corner lngs per row, find the largest circular gap —
+        # its complement is the minimal covering interval.
         k = len(ids)
-        lo = np.empty(k)
-        hi = np.empty(k)
-        full = np.zeros(k, dtype=bool)
         two_pi = 2.0 * np.pi
-        for i in range(k):
-            c_lo, c_hi, span = _min_lng_interval(lng[i])
-            if (
-                span + 2 * edge[i] > np.pi
-                or cell_lat_hi[i] >= np.pi / 2 - 1e-9
-                or cell_lat_lo[i] <= -np.pi / 2 + 1e-9
-            ):
-                full[i] = True
-                lo[i], hi[i] = -np.pi, np.pi
-            else:
-                lo[i] = c_lo - edge[i]
-                hi[i] = c_hi + edge[i]
+        ls = np.sort(lng, axis=1)  # (K, 4)
+        gaps = np.diff(np.concatenate([ls, ls[:, :1] + two_pi], axis=1), axis=1)
+        g = np.argmax(gaps, axis=1)  # (K,)
+        rows = np.arange(k)
+        span = two_pi - gaps[rows, g]
+        full = (
+            (span + 2 * edge > np.pi)
+            | (cell_lat_hi >= np.pi / 2 - 1e-9)
+            | (cell_lat_lo <= -np.pi / 2 + 1e-9)
+        )
+        lo = np.where(full, -np.pi, ls[rows, (g + 1) % 4] - edge)
+        hi = np.where(full, np.pi, ls[rows, g] + edge)
         return lat_overlap & self._lng_overlaps(lo, hi, full)

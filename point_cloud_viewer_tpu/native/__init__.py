@@ -178,6 +178,11 @@ def radix_argsort_u64(keys: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray
     h = lib()
     if h is None:
         return None
+    if len(keys) >= 1 << 32:
+        # The kernel carries u32 permutation indices during its passes;
+        # beyond 2^32 keys it would silently wrap. Callers fall back to
+        # np.argsort.
+        return None
     keys = np.ascontiguousarray(keys, dtype=np.uint64)
     perm = np.empty(len(keys), dtype=np.int64)
     out = np.empty(len(keys), dtype=np.uint64)

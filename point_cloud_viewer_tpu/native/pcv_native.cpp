@@ -774,6 +774,12 @@ int64_t parse_octree_meta(const uint8_t* buf, int64_t len, int32_t* version,
                         }
                     }
                     if (!nd.ok) return -1;
+                    // Reject out-of-range values instead of truncating:
+                    // PositionEncoding is 1..4 and levels cap at 40
+                    // (120-bit paths) — a corrupt meta must not wrap into
+                    // a "valid" value (e.g. varint 257 -> u8 1).
+                    if (enc < 1 || enc > 4) return -1;
+                    if ((hi >> 56) > 40) return -1;
                     if (id_hi != nullptr) {
                         if (n >= n_cap) return -1;
                         id_hi[n] = hi;

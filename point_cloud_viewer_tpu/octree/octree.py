@@ -109,6 +109,15 @@ class Octree:
             self.num_points = num_points
             if len(enc) and (enc.min() < 1 or enc.max() > 4):
                 raise ValueError("PositionEncoding is invalid")
+            from .node_id import MAX_FORMAT_LEVEL
+
+            if len(self.levels) and int(self.levels.max()) > MAX_FORMAT_LEVEL:
+                # A level byte > 40 would reach bounding_cubes2 with
+                # shifts >= 128 (C-undefined for numpy uint64); the Python
+                # decoder path raises for such metas, so must we.
+                raise ValueError(
+                    f"node level exceeds the format maximum of {MAX_FORMAT_LEVEL}"
+                )
             self._encoding_codes = enc
             self.node_ids = _LazyNodeIds(self.levels, self.path_hi, self.path_lo)
             self._index: Optional[Dict[int, int]] = None  # built on demand

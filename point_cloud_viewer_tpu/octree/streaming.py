@@ -195,11 +195,12 @@ def build_octree_streaming(
                 for name, dt, dim in marker["schemas"]
             ]
             resumed = True
-        else:
+        elif "params" in marker:
             raise ValueError(
                 f"spill directory {spill_dir} holds a checkpoint for a "
                 "DIFFERENT build (params mismatch); use a fresh directory"
             )
+        # else: corrupt/unparseable marker == no checkpoint -> clean slate.
 
     # --- PASS 2: spill by top bucket bits ----------------------------------
     if not resumed:

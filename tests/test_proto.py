@@ -256,3 +256,41 @@ def test_native_meta_parse_fuzz_no_crash():
         flipped[i] ^= 0xFF
         native.parse_octree_meta(bytes(flipped))
         native.parse_octree_meta(bytes(base[:i]))  # truncation
+
+
+def test_native_meta_parse_rejects_out_of_range_values():
+    """Corrupt metas must bail to the Python decoder (None), not truncate
+    into accidentally-valid values: a position_encoding varint of 257 must
+    not wrap to UINT8 (=1), and a level byte > 40 would drive uint64 shifts
+    past 64 bits in the vectorized cube math."""
+    from point_cloud_viewer_tpu import native
+    from point_cloud_viewer_tpu.protos.meta import (
+        BoundingBoxProto, MetaProto, OctreeMetaProto, OctreeNodeProto,
+    )
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native unavailable")
+
+    def meta_with(node):
+        return MetaProto(
+            version=13,
+            bounding_box=BoundingBoxProto(min=(0, 0, 0), max=(1, 1, 1)),
+            octree=OctreeMetaProto(resolution=0.5, nodes=[node]),
+        ).encode()
+
+    # encoding 257 wraps to 1 under a u8 cast; 0 and 5 are out of range.
+    for bad_enc in (0, 5, 257):
+        buf = meta_with(OctreeNodeProto(id=(1 << 120) | 3, num_points=7,
+                                        position_encoding=bad_enc))
+        assert native.parse_octree_meta(buf) is None
+
+    # level 41 exceeds the 120-bit path capacity of the format.
+    buf = meta_with(OctreeNodeProto(id=(41 << 120) | 3, num_points=7,
+                                    position_encoding=1))
+    assert native.parse_octree_meta(buf) is None
+    # level 40 is the maximum and stays on the fast path.
+    buf = meta_with(OctreeNodeProto(id=(40 << 120) | 3, num_points=7,
+                                    position_encoding=1))
+    assert native.parse_octree_meta(buf) is not None

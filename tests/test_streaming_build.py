@@ -216,3 +216,41 @@ def test_streaming_restart_after_spill_crash(tmp_path):
             assert fa.read() == fb.read(), f
     # Success clears the checkpoint.
     assert not os.path.exists(spill) or not os.listdir(spill)
+
+
+def test_streaming_corrupt_marker_is_clean_slate(tmp_path):
+    """An unparseable/empty spill marker (crash mid-write before the atomic
+    replace existed, disk corruption) must be treated as 'no checkpoint' —
+    the build rebuilds from scratch instead of raising ValueError forever."""
+    from point_cloud_viewer_tpu.octree import streaming as S
+
+    rng = np.random.default_rng(5)
+    batch = PointsBatch(
+        position=rng.random((5_000, 3)) * 40.0,
+        attributes={"color": rng.integers(0, 256, (5_000, 3), dtype=np.uint8)},
+    )
+    mem_dir = str(tmp_path / "mem")
+    build_octree(mem_dir, 0.01, batch)
+
+    spill = str(tmp_path / "spill")
+    os.makedirs(spill)
+    # Truncated JSON marker.
+    with open(os.path.join(spill, S._SPILL_MARKER), "w") as f:
+        f.write('{"params": {"resol')
+    out_dir = str(tmp_path / "stream")
+    build_octree_streaming(
+        out_dir, 0.01, batch, bucket_levels=1, spill_directory=spill
+    )
+    _assert_same_output(mem_dir, out_dir)
+
+    # A VALID marker for different params must still raise.
+    os.makedirs(spill, exist_ok=True)
+    import json
+
+    with open(os.path.join(spill, S._SPILL_MARKER), "w") as f:
+        json.dump({"params": {"resolution": 0.5}}, f)
+    with pytest.raises(ValueError, match="DIFFERENT build"):
+        build_octree_streaming(
+            str(tmp_path / "stream2"), 0.01, batch,
+            bucket_levels=1, spill_directory=spill,
+        )
