@@ -71,6 +71,8 @@ class BuildResult:
     bounding_box: Aabb
     nodes: List[Tuple[NodeId, int]]  # (id, num_points) of every recorded node
     depth_cap: int
+    # Mesh builds only: points owned by each shard after the all-to-all.
+    shard_points: Optional[List[int]] = None
 
     @property
     def num_points(self) -> int:
@@ -145,6 +147,14 @@ def build_octree(
 
     depth_cap = compute_depth_cap(root_cube.edge_length, resolution)
 
+    if mesh is not None and depth_cap >= 2:
+        # depth_cap < 2 (at most a root + one level) has no distributable
+        # work; such trivial trees take the host path below.
+        return _build_octree_mesh(
+            output_directory, resolution, batch, bounding_box, root_cube,
+            depth_cap, mesh, phase,
+        )
+
     # --- 1. Morton sort --------------------------------------------------
     if use_device and mesh is None:
         # The WHOLE tree derivation (sort + leaf assignment + LOD
@@ -176,20 +186,12 @@ def build_octree(
                 codes, final_levels, leaf_levels, depth_cap
             )
     else:
-        if mesh is not None:
-            cells = morton.quantize(
+        with phase("quantize+morton"):
+            codes, _ = morton.quantize_and_encode(
                 batch.position, root_cube.min, root_cube.edge_length, depth_cap
             )
-            from ..parallel.sharded_build import sharded_morton_sort
-
-            codes, order = sharded_morton_sort(cells, mesh, depth_cap)
-        else:
-            with phase("quantize+morton"):
-                codes, _ = morton.quantize_and_encode(
-                    batch.position, root_cube.min, root_cube.edge_length, depth_cap
-                )
-            with phase("sort"):
-                codes, order = morton.argsort_codes(codes)
+        with phase("sort"):
+            codes, order = morton.argsort_codes(codes)
 
         # --- 2+3. leaf discovery + bottom-up LOD subsampling --------------
         with phase("discover+subsample"):
@@ -212,6 +214,113 @@ def build_octree(
 
 
 # ---------------------------------------------------------------------------
+
+
+def _build_octree_mesh(
+    output_directory: str,
+    resolution: float,
+    batch: PointsBatch,
+    bounding_box: Aabb,
+    root_cube: Cube,
+    depth_cap: int,
+    mesh,
+    phase,
+) -> BuildResult:
+    """The multi-chip build: the WHOLE derivation — sort, leaf assignment,
+    LOD promotion — runs as one SPMD program over the mesh; the host never
+    walks all-N codes through a serial tree pass.
+
+    Decomposition (identical to the out-of-core bucket builder, so output is
+    byte-identical to the single-chip path):
+    - shard boundaries are level-B Morton prefixes, balanced by exact cell
+      counts, so every shard owns whole level-B subtrees;
+    - per shard ON DEVICE: all-to-all exchange, sort, leaf assignment + LOD
+      promotion stopped at level B (parallel/sharded_build.py);
+    - per shard ON HOST (independent per shard): group levels > B, gather,
+      fixpoint-encode, write node files;
+    - the shallow top (levels <= B) is finished from the per-shard residuals
+      by the streaming builder's top pass (at most ~N/8 points).
+
+    Reference analogue: generation.rs:152-193 parallelizes the whole build
+    over a rayon scope; here the mesh is the scope and shard boundaries are
+    chosen so no node straddles workers."""
+    from ..parallel.sharded_build import sharded_tree_levels
+    from .streaming import _finish_top, top_structure
+
+    n = len(batch)
+    n_shards = int(mesh.devices.size)
+    # Enough level-B cells to balance the mesh (>= 8 cells per shard),
+    # at least the out-of-core default B=2, capped by the tree depth.
+    b_levels = 2
+    while 8**b_levels < 8 * n_shards:
+        b_levels += 1
+    b_levels = min(b_levels, depth_cap - 1)
+
+    with phase("quantize+morton"):
+        codes_unsorted, _ = morton.quantize_and_encode(
+            batch.position, root_cube.min, root_cube.edge_length, depth_cap
+        )
+    with phase("sharded sort+derive"):
+        shards = sharded_tree_levels(
+            codes_unsorted, mesh, depth_cap, b_levels, depth_cap,
+            MAX_POINTS_PER_NODE,
+        )
+
+    num_buckets = 8**b_levels
+    shift = np.uint64(3 * (depth_cap - b_levels))
+    cell_counts = np.bincount(
+        (codes_unsorted >> shift).astype(np.int64), minlength=num_buckets
+    )
+    top_leaf_of_bucket, split_b = top_structure(
+        cell_counts, b_levels, root_cube, resolution, depth_cap
+    )
+    split_lut = np.zeros(num_buckets, dtype=bool)
+    if split_b:
+        split_lut[list(split_b)] = True
+
+    recorded: List[Tuple[NodeId, int]] = []
+    top_inputs: List[Tuple[int, PointsBatch]] = []
+    with phase("group+encode+write"):
+        for order_s, final_s, leaf_s in shards:
+            if len(order_s) == 0:
+                continue
+            codes_s = codes_unsorted[order_s]
+            pfx = (codes_s >> shift).astype(np.int64)
+            # Cells whose level-B node does NOT split (they sit under a
+            # shallow leaf or are small) go to the top pass wholesale; the
+            # device computed subtree levels for them under the
+            # unconditional-root-split assumption, which doesn't apply.
+            in_split = split_lut[pfx]
+            final_s = np.where(in_split, final_s, b_levels).astype(np.uint8)
+            leaf_s = np.where(in_split, leaf_s, b_levels).astype(np.uint8)
+            grouped, residual_idx = _group_subtree_levels(
+                codes_s, final_s, leaf_s, depth_cap, b_levels
+            )
+            recorded.extend(
+                _write_levels(
+                    output_directory, grouped, batch, order_s, root_cube,
+                    resolution,
+                )
+            )
+            r_leaf = top_leaf_of_bucket[pfx[residual_idx]]
+            r_lvl = np.where(r_leaf >= 0, r_leaf, b_levels)
+            for lvl in np.unique(r_lvl):
+                sel = residual_idx[r_lvl == lvl]
+                top_inputs.append((int(lvl), batch.take(order_s[sel])))
+    with phase("top"):
+        recorded.extend(
+            _finish_top(
+                output_directory, top_inputs, root_cube, resolution, depth_cap
+            )
+        )
+
+    meta = _meta_proto(resolution, bounding_box, recorded)
+    with open(os.path.join(output_directory, META_FILENAME), "wb") as f:
+        f.write(meta.encode())
+    return BuildResult(
+        output_directory, root_cube, resolution, bounding_box, recorded,
+        depth_cap, shard_points=[len(s[0]) for s in shards],
+    )
 
 
 def _derive_final_nodes(

@@ -254,34 +254,9 @@ def build_octree_streaming(
         return BuildResult(output_directory, root_cube, resolution, bounding_box, [], 0)
 
     # --- top structure from aggregated bucket counts -----------------------
-    # A node above the bucket level may itself be a leaf; decide the split
-    # structure for levels 0..B from the (exact) per-bucket counts so the
-    # result matches the in-memory builder.
-    from ..core.constants import MAX_POINTS_PER_NODE
-
-    top_leaf_of_bucket = np.full(num_buckets, -1, dtype=np.int64)  # leaf level
-    split = {0: np.zeros(1, dtype=np.uint64)}  # root always splits
-    level_counts = {
-        lvl: np.add.reduceat(
-            spill.counts, np.arange(0, num_buckets, 8 ** (b_levels - lvl))
-        )
-        for lvl in range(b_levels + 1)
-    }
-    for lvl in range(1, b_levels + 1):
-        parent_split = split[lvl - 1]
-        children = (parent_split[:, None] << np.uint64(3)) | np.arange(8, dtype=np.uint64)
-        children = children.ravel()
-        counts = level_counts[lvl][children.astype(np.int64)]
-        nonempty = counts > 0
-        edge = root_cube.edge_length / (1 << lvl)
-        can_split = lvl < depth_cap and edge > resolution
-        is_leaf = nonempty & ((counts <= MAX_POINTS_PER_NODE) | (not can_split))
-        # Mark buckets under each leaf.
-        for path in children[is_leaf]:
-            span = 8 ** (b_levels - lvl)
-            start = int(path) * span
-            top_leaf_of_bucket[start : start + span] = lvl
-        split[lvl] = children[nonempty & ~is_leaf]
+    top_leaf_of_bucket, split_b = top_structure(
+        spill.counts, b_levels, root_cube, resolution, depth_cap
+    )
 
     # --- per-bucket subtree builds -----------------------------------------
     checkpointing = spill_directory is not None
@@ -289,7 +264,6 @@ def build_octree_streaming(
     # (level, batch) pairs feeding the top pass: bucket residuals at level B
     # and whole point sets of shallow leaves.
     top_inputs: List[Tuple[int, PointsBatch]] = []
-    split_b = set(int(p) for p in split.get(b_levels, []))
     for bucket in range(num_buckets):
         if spill.counts[bucket] == 0:
             continue
@@ -377,6 +351,51 @@ def build_octree_streaming(
     return BuildResult(
         output_directory, root_cube, resolution, bounding_box, recorded, depth_cap
     )
+
+
+def top_structure(
+    bucket_counts: np.ndarray,
+    b_levels: int,
+    root_cube: Cube,
+    resolution: float,
+    depth_cap: int,
+) -> Tuple[np.ndarray, set]:
+    """Exact split structure for levels 0..B from per-level-B-cell point
+    counts: a node above the bucket level may itself be a leaf, so decide
+    splits from the (exact) aggregated counts the way the in-memory builder
+    would (its _discover_levels top rows).  Returns
+    (top_leaf_of_bucket (8^B,) int64 — the shallow leaf level covering each
+    bucket, -1 where the bucket's level-B node splits further — and split_b,
+    the set of level-B paths that split).  Shared by the out-of-core bucket
+    builder and the distributed mesh builder."""
+    from ..core.constants import MAX_POINTS_PER_NODE
+
+    num_buckets = 8**b_levels
+    top_leaf_of_bucket = np.full(num_buckets, -1, dtype=np.int64)  # leaf level
+    split = {0: np.zeros(1, dtype=np.uint64)}  # root always splits
+    level_counts = {
+        lvl: np.add.reduceat(
+            bucket_counts, np.arange(0, num_buckets, 8 ** (b_levels - lvl))
+        )
+        for lvl in range(b_levels + 1)
+    }
+    for lvl in range(1, b_levels + 1):
+        parent_split = split[lvl - 1]
+        children = (parent_split[:, None] << np.uint64(3)) | np.arange(8, dtype=np.uint64)
+        children = children.ravel()
+        counts = level_counts[lvl][children.astype(np.int64)]
+        nonempty = counts > 0
+        edge = root_cube.edge_length / (1 << lvl)
+        can_split = lvl < depth_cap and edge > resolution
+        is_leaf = nonempty & ((counts <= MAX_POINTS_PER_NODE) | (not can_split))
+        # Mark buckets under each leaf.
+        for path in children[is_leaf]:
+            span = 8 ** (b_levels - lvl)
+            start = int(path) * span
+            top_leaf_of_bucket[start : start + span] = lvl
+        split[lvl] = children[nonempty & ~is_leaf]
+    split_b = set(int(p) for p in split.get(b_levels, []))
+    return top_leaf_of_bucket, split_b
 
 
 def _build_bucket_subtree(

@@ -79,13 +79,14 @@ def _segmented_rank(active: jnp.ndarray, seg_starts: jnp.ndarray) -> jnp.ndarray
 
 
 def _starts_all_levels(hi: jnp.ndarray, lo: jnp.ndarray, depth: int,
-                       max_level: int) -> jnp.ndarray:
-    """(N, L) bool: does the level-(l+1) prefix change at each point?
+                       max_level: int, min_level: int = 1) -> jnp.ndarray:
+    """(N, L) bool: does the level-l prefix change at each point, for
+    l = min_level..max_level (one column per level)?
     One vectorized xor + per-column shifts instead of L separate passes."""
     n = hi.shape[0]
     x_hi = hi ^ jnp.concatenate([hi[:1] ^ jnp.uint32(1), hi[:-1]])
     x_lo = lo ^ jnp.concatenate([lo[:1] ^ jnp.uint32(1), lo[:-1]])
-    levels = jnp.arange(1, max_level + 1)
+    levels = jnp.arange(min_level, max_level + 1)
     shifts = 3 * (depth - levels)  # (L,)
     sh = shifts[None, :].astype(jnp.uint32)
     hi_b = x_hi[:, None]
@@ -103,7 +104,8 @@ def _starts_all_levels(hi: jnp.ndarray, lo: jnp.ndarray, depth: int,
     return starts.at[0, :].set(True)
 
 
-def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node):
+def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node,
+                        root_level: int = 0, stop_level: int = 0):
     """Sorted (hi, lo) codes -> (leaf_level, final_level) int32 per point.
 
     Leaf: first level whose segment holds <= max_points_per_node points
@@ -111,10 +113,22 @@ def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node):
     8th resident point of each node moves to the parent (the reference's
     subsampling rule, src/octree/generation.rs:224-229).  Levels with no
     resident points are skipped at runtime (lax.cond); a gather-based rank
-    was measured 2.8x SLOWER than cumsum+cummax on TPU."""
+    was measured 2.8x SLOWER than cumsum+cummax on TPU.
+
+    root_level/stop_level give the subtree semantics of the native
+    tree_levels kernel (pcv_native.cpp): level-root segments split
+    unconditionally (leaves live at levels root+1..max_split) and promotion
+    stops at stop_level — points resting AT stop_level are the residual a
+    caller's top pass continues from.  This is what each shard of the
+    distributed builder runs after the all-to-all (its owned level-B
+    subtrees need no cross-shard data)."""
+    assert root_level <= stop_level <= max_split_level
+    assert root_level < max_split_level
     n = hi.shape[0]
-    levels_n = max_split_level
-    starts_all = _starts_all_levels(hi, lo, depth, levels_n)  # (N, L)
+    levels_n = max_split_level - root_level
+    starts_all = _starts_all_levels(
+        hi, lo, depth, max_split_level, min_level=root_level + 1
+    )  # (N, L) for levels root_level+1..max_split_level
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, levels_n), 0)
     seg_start = jax.lax.cummax(jnp.where(starts_all, iota_n, 0), axis=0)
     nb = jnp.where(starts_all, iota_n, n)
@@ -126,12 +140,14 @@ def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node):
     small = counts <= max_points_per_node
     has_leaf = jnp.any(small, axis=1)
     leaf = jnp.where(
-        has_leaf, jnp.argmax(small, axis=1).astype(jnp.int32) + 1, levels_n
+        has_leaf,
+        jnp.argmax(small, axis=1).astype(jnp.int32) + root_level + 1,
+        max_split_level,
     )
 
     cur = leaf
-    for level in range(max_split_level, 0, -1):
-        starts = starts_all[:, level - 1]
+    for level in range(max_split_level, stop_level, -1):
+        starts = starts_all[:, level - root_level - 1]
         active = cur == level
 
         def _promote_level(args):
