@@ -87,12 +87,17 @@ def _materialize(
     return PointsBatch.concatenate(list(data))
 
 
-def compute_depth_cap(edge_length: float, resolution: float) -> int:
+def compute_depth_cap(
+    edge_length: float, resolution: float, max_level: int = morton.MAX_DEPTH
+) -> int:
     """Deepest node level: keep descending while a node at level d-1 may
-    still split (its edge > resolution), capped by the 63-bit code budget.
-    The root always splits, so the cap is at least 1."""
+    still split (its edge > resolution), capped at max_level (default: the
+    63-bit u64 code budget; the format itself allows 40 — the reference
+    builder splits as deep as the resolution demands, bounded only by the
+    120-bit NodeId path, src/octree/node.rs:56-106).  The root always
+    splits, so the cap is at least 1."""
     depth = 1
-    while depth < morton.MAX_DEPTH and edge_length / (1 << depth) > resolution:
+    while depth < max_level and edge_length / (1 << depth) > resolution:
         depth += 1
     return depth
 
@@ -145,9 +150,19 @@ def build_octree(
             f.write(meta.encode())
         return BuildResult(output_directory, root_cube, resolution, bounding_box, [], 0)
 
-    depth_cap = compute_depth_cap(root_cube.edge_length, resolution)
+    from .node_id import MAX_FORMAT_LEVEL
 
-    if mesh is not None and depth_cap >= 2:
+    total_cap = compute_depth_cap(
+        root_cube.edge_length, resolution, max_level=MAX_FORMAT_LEVEL
+    )
+    depth_cap = min(total_cap, morton.MAX_DEPTH)
+    # deep: the resolution demands levels past the 63-bit u64 code budget
+    # (a planet-extent cloud at mm resolution); level-21 cells still holding
+    # > MAX_POINTS_PER_NODE points are split further by re-rooted sub-builds
+    # on the host path (_split_fat_leaves), up to the format's level 40.
+    deep = total_cap > depth_cap
+
+    if mesh is not None and depth_cap >= 2 and not deep:
         # depth_cap < 2 (at most a root + one level) has no distributable
         # work; such trivial trees take the host path below.
         return _build_octree_mesh(
@@ -156,7 +171,7 @@ def build_octree(
         )
 
     # --- 1. Morton sort --------------------------------------------------
-    if use_device and mesh is None:
+    if use_device and not deep and mesh is None:
         # The WHOLE tree derivation (sort + leaf assignment + LOD
         # promotion) runs as one jitted program; the host only groups the
         # result and does the exact f64 encode, so on-disk bytes stay
@@ -193,23 +208,49 @@ def build_octree(
         with phase("sort"):
             codes, order = morton.argsort_codes(codes)
 
-        # --- 2+3. leaf discovery + bottom-up LOD subsampling --------------
-        with phase("discover+subsample"):
-            final_nodes = _derive_final_nodes(
-                codes, n, depth_cap, root_cube.edge_length, resolution
-            )
+        deep_nodes: List[Tuple[NodeId, int]] = []
+        if deep:
+            # Split level-21 cells still over MAX_POINTS_PER_NODE with
+            # re-rooted sub-builds; the reduced arrays carry each fat
+            # cell's residual in place of its raw run.  Split decisions in
+            # the top derivation must still come from the RAW counts (flat
+            # 120-bit semantics: every ancestor of a fat cell splits), so
+            # the deep discover pass counts on the raw codes while slicing
+            # the reduced ones.
+            with phase("deep subtrees"):
+                raw_codes = codes
+                codes, order, deep_nodes = _split_fat_leaves(
+                    output_directory, codes, order, batch, root_cube,
+                    resolution, depth_cap, total_cap,
+                )
+            with phase("discover+subsample"):
+                final_nodes = _subsample_bottom_up(
+                    _discover_levels_deep(
+                        codes, raw_codes, depth_cap, root_cube.edge_length,
+                        resolution,
+                    )
+                )
+        else:
+            # --- 2+3. leaf discovery + bottom-up LOD subsampling ----------
+            with phase("discover+subsample"):
+                final_nodes = _derive_final_nodes(
+                    codes, len(codes), depth_cap, root_cube.edge_length,
+                    resolution,
+                )
 
     # --- 4. encode + write ------------------------------------------------
     with phase("encode+write"):
         nodes = _write_levels(
             output_directory, final_nodes, batch, order, root_cube, resolution
         )
+        if deep:
+            nodes.extend(deep_nodes)
 
     meta = _meta_proto(resolution, bounding_box, nodes)
     with open(os.path.join(output_directory, META_FILENAME), "wb") as f:
         f.write(meta.encode())
     return BuildResult(
-        output_directory, root_cube, resolution, bounding_box, nodes, depth_cap
+        output_directory, root_cube, resolution, bounding_box, nodes, total_cap
     )
 
 
@@ -321,6 +362,166 @@ def _build_octree_mesh(
         output_directory, root_cube, resolution, bounding_box, recorded,
         depth_cap, shard_points=[len(s[0]) for s in shards],
     )
+
+
+def _split_fat_leaves(
+    directory: str,
+    codes: np.ndarray,
+    order: np.ndarray,
+    batch: PointsBatch,
+    root_cube: Cube,
+    resolution: float,
+    depth_cap: int,
+    total_cap: int,
+) -> Tuple[np.ndarray, np.ndarray, List[Tuple[NodeId, int]]]:
+    """Deep-tree recursion: level-`depth_cap` cells holding more than
+    MAX_POINTS_PER_NODE points are split past the u64 code budget by
+    re-rooted sub-builds (fresh 63-bit code space inside the cell's cube —
+    the same per-node re-rooting the reference's recursive splitter does,
+    src/octree/generation.rs:152-193), down to `total_cap` <= 40.
+
+    Writes all nodes DEEPER than depth_cap and returns reduced
+    (codes, order) where each fat run is replaced by its sub-build residual
+    (always <= MAX_POINTS_PER_NODE points: a node receives at most
+    8*ceil(100k/8) promoted points), so the standard top derivation sees
+    the cell as an ordinary leaf."""
+    uniq, counts = _sorted_unique_counts(codes)
+    fat = counts > MAX_POINTS_PER_NODE
+    if not fat.any():
+        return codes, order, []
+    run_offsets = np.concatenate([[0], np.cumsum(counts)])
+    recorded: List[Tuple[NodeId, int]] = []
+    keep_codes: List[np.ndarray] = []
+    keep_order: List[np.ndarray] = []
+    prev_end = 0
+    for i in np.flatnonzero(fat):
+        s, e = int(run_offsets[i]), int(run_offsets[i + 1])
+        keep_codes.append(codes[prev_end:s])
+        keep_order.append(order[prev_end:s])
+        residual_order, nodes = _build_deep_subtree(
+            directory, batch, order[s:e], int(uniq[i]), root_cube,
+            resolution, depth_cap, total_cap,
+        )
+        recorded.extend(nodes)
+        keep_codes.append(np.full(len(residual_order), uniq[i], dtype=np.uint64))
+        keep_order.append(residual_order)
+        prev_end = e
+    keep_codes.append(codes[prev_end:])
+    keep_order.append(order[prev_end:])
+    return np.concatenate(keep_codes), np.concatenate(keep_order), recorded
+
+
+def _build_deep_subtree(
+    directory: str,
+    batch: PointsBatch,
+    run_order: np.ndarray,
+    cell_path: int,
+    root_cube: Cube,
+    resolution: float,
+    depth_cap: int,
+    total_cap: int,
+) -> Tuple[np.ndarray, List[Tuple[NodeId, int]]]:
+    """Build the subtree under one fat level-`depth_cap` cell: a standard
+    sort-based build re-rooted at the cell's cube (sub-depth
+    total_cap - depth_cap <= 19, so one recursion level reaches the
+    format's level-40 capacity).  `run_order` indexes the original batch in
+    globally-sorted order (all points share the cell's code, so ties keep
+    original order).  Returns (residual order — the cell's post-subtree
+    content — and the recorded deep nodes)."""
+    node_id = NodeId.from_level_index(depth_cap, cell_path)
+    cube = node_id.find_bounding_cube(root_cube)
+    d2 = total_cap - depth_cap
+    assert 1 <= d2 <= morton.MAX_DEPTH
+
+    sub_codes, _ = morton.quantize_and_encode(
+        batch.position[run_order], cube.min, cube.edge_length, d2
+    )
+    sub_codes, sub_sort = morton.argsort_codes(sub_codes)
+    sub_order = run_order[sub_sort]
+
+    from .. import native
+
+    out = native.tree_levels(sub_codes, d2, d2, MAX_POINTS_PER_NODE)
+    if out is not None:
+        leaf_lv, final_lv = out
+        final_nodes, residual_idx = _group_subtree_levels(
+            sub_codes, final_lv, leaf_lv, d2, 0
+        )
+    else:
+        levels = _discover_levels(
+            sub_codes, len(sub_codes), d2, cube.edge_length, resolution
+        )
+        final_nodes = _subsample_bottom_up(levels)
+        residual_idx = (
+            final_nodes.pop(0).idx if 0 in final_nodes
+            else np.empty(0, dtype=np.int64)
+        )
+    nodes = _write_levels(
+        directory, final_nodes, batch, sub_order, cube, resolution,
+        prefix=node_id,
+    )
+    return sub_order[residual_idx], nodes
+
+
+def _discover_levels_deep(
+    codes: np.ndarray,
+    raw_codes: np.ndarray,
+    depth_cap: int,
+    root_edge: float,
+    resolution: float,
+) -> Dict[int, _LevelNodes]:
+    """_discover_levels for the deep-tree top pass: point lists come from
+    the REDUCED codes (fat runs replaced by their sub-build residuals) but
+    split decisions come from the RAW counts — an ancestor of a fat cell
+    must split even when its residual content is small, exactly as a flat
+    120-bit derivation would decide."""
+    leaf_acc: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    split_paths = np.zeros(1, dtype=np.uint64)
+    split_ends = np.full(1, len(codes), dtype=np.int64)
+
+    for level in range(1, depth_cap + 1):
+        k = len(split_paths)
+        shift = np.uint64(3 * (depth_cap - level))
+        child_paths = (split_paths[:, None] << np.uint64(3)) | np.arange(8, dtype=np.uint64)
+        bounds = child_paths << shift
+        upper = bounds + (np.uint64(1) << shift)
+        starts = np.searchsorted(codes, bounds.ravel(), side="left").astype(np.int64)
+        ends = np.concatenate(
+            [starts.reshape(k, 8)[:, 1:], split_ends[:, None]], axis=1
+        ).ravel()
+        raw_counts = (
+            np.searchsorted(raw_codes, upper.ravel(), side="left")
+            - np.searchsorted(raw_codes, bounds.ravel(), side="left")
+        )
+        nonempty = raw_counts > 0
+
+        edge = root_edge / (1 << level)
+        can_split = level < depth_cap and edge > resolution
+        if can_split:
+            is_leaf = nonempty & (raw_counts <= MAX_POINTS_PER_NODE)
+        else:
+            is_leaf = nonempty
+
+        if is_leaf.any():
+            leaf_acc[level] = (
+                child_paths.ravel()[is_leaf],
+                np.stack([starts[is_leaf], ends[is_leaf]], axis=1),
+            )
+
+        splitting = nonempty & ~is_leaf
+        split_paths = child_paths.ravel()[splitting]
+        split_ends = ends[splitting]
+        if len(split_paths) == 0:
+            break
+
+    out: Dict[int, _LevelNodes] = {}
+    for level, (paths, ranges) in leaf_acc.items():
+        counts = ranges[:, 1] - ranges[:, 0]
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        out[level] = _LevelNodes(
+            paths=paths, offsets=offsets, idx=_ranges_to_indices(ranges)
+        )
+    return out
 
 
 def _derive_final_nodes(
@@ -641,6 +842,7 @@ def _write_levels(
     order: np.ndarray,
     root_cube: Cube,
     resolution: float,
+    prefix: Optional[NodeId] = None,
 ) -> List[Tuple[NodeId, int]]:
     """Encode per level (one encoding per level) and write node files.
 
@@ -648,7 +850,13 @@ def _write_levels(
     (node idx lists index the sorted order).  Point gather + fixpoint
     encode run fused in one native pass per chunk (no materialized
     per-point min/edge arrays); encoding is chunked over groups of whole
-    nodes so peak scratch memory stays bounded regardless of cloud size."""
+    nodes so peak scratch memory stays bounded regardless of cloud size.
+
+    With `prefix`, levels/paths are RELATIVE to that node: `root_cube` must
+    be the prefix node's own cube, and written ids become global
+    (prefix.level + level) — the deep-subtree writer for trees past the
+    u64 code budget (cube subdivision and per-level encodings stay exact:
+    both are powers-of-two divisions of the same f64 root edge)."""
     from .. import native
 
     recorded: List[Tuple[NodeId, int]] = []
@@ -697,7 +905,13 @@ def _write_levels(
                 attrs[name] = arr[global_idx] if taken is None else taken
             chunk_futures = []
             for i in range(node_start, node_end):
-                node_id = NodeId.from_level_index(level, int(nodes.paths[i]))
+                if prefix is not None:
+                    node_id = NodeId.from_level_index(
+                        prefix.level + level,
+                        (prefix.index << (3 * level)) | int(nodes.paths[i]),
+                    )
+                else:
+                    node_id = NodeId.from_level_index(level, int(nodes.paths[i]))
                 a, b = int(nodes.offsets[i]) - lo, int(nodes.offsets[i + 1]) - lo
                 recorded.append((node_id, b - a))
                 chunk_futures.append(

@@ -341,6 +341,11 @@ class Octree:
             )
         else:
             mask = location.intersects_aabbs(self.node_corners())
+        # Nodes fully drained by LOD promotion are recorded in the meta with
+        # 0 points but have NO data files (the reference deletes zero-byte
+        # files on writer drop, src/read_write/node_writer.rs:78-89) — they
+        # must never reach the readers.
+        mask &= self.num_points > 0
         return [self.node_ids[i] for i in np.nonzero(mask)[0]]
 
     # -- point access --------------------------------------------------------

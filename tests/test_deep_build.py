@@ -1,0 +1,125 @@
+"""Deep builds past the 63-bit code budget: the builder must keep splitting
+level-21 cells that still exceed MAX_POINTS_PER_NODE, up to the format's
+level-40 capacity (reference: the recursive splitter has no 21-level cap,
+src/octree/generation.rs:152-193; NodeId carries 120-bit paths,
+src/octree/node.rs:56-106)."""
+
+import os
+
+import numpy as np
+
+from point_cloud_viewer_tpu.core.constants import MAX_POINTS_PER_NODE
+from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+from point_cloud_viewer_tpu.math.geometry import Aabb
+from point_cloud_viewer_tpu.octree.builder import build_octree
+from point_cloud_viewer_tpu.octree.node_id import NodeId
+from point_cloud_viewer_tpu.octree.octree import Octree
+from point_cloud_viewer_tpu.query.client import PointCloudClient
+from point_cloud_viewer_tpu.query.point_query import PointQuery
+
+PLANET = 6.4e6  # root edge: Earth-ish extent in metres
+
+
+def _planet_bbox() -> Aabb:
+    return Aabb(np.zeros(3), np.full(3, PLANET))
+
+
+def _build(tmp_path, name, batch, resolution):
+    out = str(tmp_path / name)
+    return out, build_octree(out, resolution, batch, bounding_box=_planet_bbox())
+
+
+def test_build_past_level_21(tmp_path):
+    """300k points inside ONE level-21 cell (~3.05 m at planet extent) must
+    split past level 21 instead of stopping at a fat leaf."""
+    rng = np.random.default_rng(42)
+    n = 300_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 3.0,  # level-21 cell edge = 3.0518 m
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+    out, result = _build(tmp_path, "deep", batch, 0.01)
+    assert result.depth_cap > 21
+    levels = np.array([nid.level for nid, _ in result.nodes])
+    counts = np.array([c for _, c in result.nodes])
+    assert levels.max() >= 22, "no nodes written past level 21"
+    assert counts.sum() == n, "points lost or duplicated"
+    # No node anywhere may exceed the split threshold unless it sits at the
+    # resolution-capped bottom level.
+    fat = counts > MAX_POINTS_PER_NODE
+    assert all(levels[fat] == result.depth_cap), (
+        "oversized node above the depth cap"
+    )
+
+    # The written tree must round-trip through the container and serve all
+    # points back with positions within the resolution.
+    octree = Octree.from_directory(out)
+    ids = {nid.value for nid in octree.node_ids}
+    for nid, _ in result.nodes:
+        assert nid.value in ids
+        # every ancestor must exist too (meta invariant)
+        parent = nid.parent()
+        if parent is not None:
+            assert parent.value in ids, f"missing parent of {nid}"
+    client = PointCloudClient.from_locations([out])
+    got = PointsBatch.concatenate(list(client.stream(PointQuery())))
+    assert len(got) == n
+    lo = got.position.min(axis=0)
+    hi = got.position.max(axis=0)
+    assert (lo >= -0.011).all() and (hi <= 3.011).all()
+
+
+def test_deep_build_deterministic(tmp_path):
+    rng = np.random.default_rng(7)
+    n = 150_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 2.5,
+        attributes={"intensity": rng.random(n).astype(np.float32)},
+    )
+    out_a, _ = _build(tmp_path, "a", batch, 0.01)
+    out_b, _ = _build(tmp_path, "b", batch, 0.01)
+    files_a = sorted(os.listdir(out_a))
+    files_b = sorted(os.listdir(out_b))
+    assert files_a == files_b
+    for name in files_a:
+        with open(os.path.join(out_a, name), "rb") as f:
+            a = f.read()
+        with open(os.path.join(out_b, name), "rb") as f:
+            b = f.read()
+        assert a == b, name
+
+
+def test_very_deep_chain_reaches_format_levels(tmp_path):
+    """A micro-extent cloud at micro resolution drives the tree toward the
+    level-40 format cap through the re-rooted recursion (21 + 19)."""
+    rng = np.random.default_rng(3)
+    n = 120_000
+    batch = PointsBatch(position=rng.random((n, 3)) * 1e-3)
+    out, result = _build(tmp_path, "chain", batch, 1e-5)
+    assert result.depth_cap == 40  # capped by the format, not by u64 codes
+    levels = np.array([nid.level for nid, _ in result.nodes])
+    assert levels.max() >= 30, f"expected a deep chain, got max {levels.max()}"
+    assert sum(c for _, c in result.nodes) == n
+    # Deep node names round-trip (120-bit paths).
+    deepest = max((nid for nid, _ in result.nodes), key=lambda d: d.level)
+    assert NodeId.from_str(str(deepest)) == deepest
+    # And the deepest node's cube must still contain the cloud's bbox seed.
+    octree = Octree.from_directory(out)
+    assert int(np.sum(octree.num_points)) == n
+
+
+def test_shallow_build_unchanged_by_deep_path(tmp_path):
+    """A cloud that does NOT need deep levels must produce byte-identical
+    output whether or not the planet bbox pushes total_cap past 21 — the
+    fat-leaf pass is a no-op when no cell exceeds the threshold."""
+    rng = np.random.default_rng(9)
+    n = 50_000
+    batch = PointsBatch(position=rng.random((n, 3)) * 3.0)
+    out_deep = str(tmp_path / "deepbox")
+    build_octree(out_deep, 0.01, batch, bounding_box=_planet_bbox())
+    levels = [
+        NodeId.from_str(f[: -len(".xyz")]).level
+        for f in os.listdir(out_deep)
+        if f.startswith("r") and f.endswith(".xyz")
+    ]
+    assert max(levels) <= 21
