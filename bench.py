@@ -213,41 +213,66 @@ def time_cull(num_nodes: int, frames: int = 200):
     return host_ms, device_ms, batched_ms
 
 
-def time_cull_1m_nodes(frames: int = 20) -> float:
-    """ms/frame of the container's hierarchical cull at 1M nodes with a
-    partial-view frustum (the colossal-cloud serving case).  The node table
-    is synthesized directly into a container (metas of this size load
-    through the native parser in ~1 s, irrelevant to per-frame cost)."""
-    from point_cloud_viewer_tpu.math.geometry import (
-        Cube, Frustum, Isometry, Perspective,
-    )
+def _synthetic_1m_node_octree():
+    """A VALID 1M-node tree (all ancestors present: complete to level 6 +
+    ~700k random level-7 nodes) synthesized directly into a container —
+    metas of this size load through the native parser in ~1 s, irrelevant
+    to per-frame cost.  Validity matters: the heap cull traverses
+    parent->child links."""
+    from point_cloud_viewer_tpu.math.geometry import Cube
     from point_cloud_viewer_tpu.octree.node_id import bounding_cubes2
     from point_cloud_viewer_tpu.octree.octree import Octree
 
     rng = np.random.default_rng(5)
-    k = 1_000_000
+    levels = [np.full(8**l, l, dtype=np.uint8) for l in range(7)]
+    paths = [np.arange(8**l, dtype=np.uint64) for l in range(7)]
+    n7 = 1_000_000 - sum(len(p) for p in paths)
+    pick7 = rng.choice(8**7, size=n7, replace=False).astype(np.uint64)
+    levels.append(np.full(n7, 7, dtype=np.uint8))
+    paths.append(np.sort(pick7))
     octree = Octree.__new__(Octree)
-    octree.levels = rng.integers(7, 11, k).astype(np.uint8)
-    octree.path_hi = np.zeros(k, dtype=np.uint64)
-    octree.path_lo = (
-        rng.random(k) * (8.0 ** octree.levels.astype(np.float64))
-    ).astype(np.uint64)
-    octree.num_points = np.full(k, 10, dtype=np.int64)
+    octree.levels = np.concatenate(levels)
+    octree.path_hi = np.zeros(len(octree.levels), dtype=np.uint64)
+    octree.path_lo = np.concatenate(paths)
+    octree.num_points = np.full(len(octree.levels), 10, dtype=np.int64)
     octree.root_cube = Cube(np.zeros(3), 1024.0)
     octree.cube_mins, octree.cube_edges = bounding_cubes2(
         octree.levels, octree.path_hi, octree.path_lo, octree.root_cube
     )
     octree._coarse = None
+    octree._heap = None
     octree._build_coarse_index()
+    octree._build_heap_index()
+    return octree
+
+
+def time_cull_1m_nodes(frames: int = 20):
+    """(partial_ms, all_visible_ms) per frame of the container's cull at 1M
+    nodes with a 4096-node budget: a partial-view frustum (the
+    colossal-cloud serving case) and the worst case — a camera that sees
+    the WHOLE cloud (reference heap semantics keep it budget-bound,
+    src/octree/mod.rs:228-283)."""
+    from point_cloud_viewer_tpu.math.geometry import Frustum, Isometry, Perspective
+
+    octree = _synthetic_1m_node_octree()
 
     eye = Isometry.from_axis_angle([0, 1, 0], 0.3,
                                    translation=[200.0, 200.0, 400.0])
     frustum = Frustum.new(eye, Perspective.from_fov(1.0, 0.7, 1.0, 500.0))
-    octree.visible_nodes_with_sizes(frustum, max_nodes=4096)  # warm
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        octree.visible_nodes_with_sizes(frustum, max_nodes=4096)
-    return (time.perf_counter() - t0) / frames * 1e3
+    # All-visible: pulled back far enough that every node cube is inside.
+    eye_all = Isometry.from_axis_angle([0, 1, 0], 0.0,
+                                       translation=[512.0, 512.0, 4000.0])
+    frustum_all = Frustum.new(
+        eye_all, Perspective.from_fov(1.2, 1.0, 1.0, 10000.0)
+    )
+    results = []
+    for fr in (frustum, frustum_all):
+        octree.visible_nodes_with_sizes(fr, max_nodes=4096)  # warm
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            octree.visible_nodes_with_sizes(fr, max_nodes=4096)
+        results.append((time.perf_counter() - t0) / frames * 1e3)
+    return tuple(results)
 
 
 def bench_queries(n: int = 1_000_000) -> dict:
@@ -362,7 +387,7 @@ def main() -> None:
     ratio = 1.0 if baseline_s is None else baseline_s / best_s
 
     cull_ms, cull_device_ms, cull_batched_ms = time_cull(num_nodes=4096)
-    cull_1m_ms = time_cull_1m_nodes()
+    cull_1m_ms, cull_1m_all_ms = time_cull_1m_nodes()
 
     extra = bench_queries() if args.queries else {}
 
@@ -377,6 +402,9 @@ def main() -> None:
                 "headline_path": "host" if host_s <= e2e_device_s else "device",
                 "cull_lod_ms_per_frame_4096_nodes": round(cull_ms, 4),
                 "cull_lod_ms_per_frame_1m_nodes": round(cull_1m_ms, 4),
+                "cull_lod_ms_per_frame_1m_nodes_all_visible": round(
+                    cull_1m_all_ms, 4
+                ),
                 "cull_lod_device_ms_per_frame": round(cull_device_ms, 4),
                 "cull_lod_ms_per_frame_batched": round(cull_batched_ms, 4),
                 "e2e_device_s": round(e2e_device_s, 3),

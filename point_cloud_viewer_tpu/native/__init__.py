@@ -127,6 +127,14 @@ def _configure(h: ctypes.CDLL) -> None:
         POINTER(ctypes.c_int32), c_int64, c_int64, POINTER(ctypes.c_int32),
         POINTER(c_double), POINTER(c_uint8),
     ]
+    h.cull_lod_heap_f64.restype = c_int64
+    h.cull_lod_heap_f64.argtypes = [
+        POINTER(c_double), POINTER(c_double), POINTER(c_double),
+        POINTER(c_double), c_int64, POINTER(c_double), POINTER(c_double),
+        POINTER(ctypes.c_int32), POINTER(ctypes.c_int32),
+        POINTER(ctypes.c_int32), ctypes.c_int32, c_int64,
+        POINTER(ctypes.c_int32), POINTER(c_double),
+    ]
     h.parse_octree_meta.restype = c_int64
     h.parse_octree_meta.argtypes = [
         ctypes.c_char_p, c_int64, POINTER(ctypes.c_int32), POINTER(c_double),
@@ -301,6 +309,42 @@ def cull_lod_select(
         _ptr(visible, ctypes.c_uint8),
     )
     return order, sizes, visible.astype(bool)
+
+
+def cull_lod_heap(
+    matrix: np.ndarray, axes: np.ndarray, qmin: np.ndarray, qmax: np.ndarray,
+    node_min: np.ndarray, edge: np.ndarray, num_points: np.ndarray,
+    child_start: np.ndarray, child_end: np.ndarray, root: int, max_out: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Best-first heap cull (reference src/octree/mod.rs:228-283): emits at
+    most `max_out` visible nonempty nodes, largest projected screen size
+    first, touching only O(emitted) nodes of the tree.  Returns
+    (order i32, sizes f64) of the emitted nodes, or None if the library is
+    unavailable."""
+    h = lib()
+    if h is None:
+        return None
+    matrix = np.ascontiguousarray(matrix, dtype=np.float64)
+    axes = np.ascontiguousarray(axes, dtype=np.float64)
+    qmin = np.ascontiguousarray(qmin, dtype=np.float64)
+    qmax = np.ascontiguousarray(qmax, dtype=np.float64)
+    node_min = np.ascontiguousarray(node_min, dtype=np.float64)
+    edge = np.ascontiguousarray(edge, dtype=np.float64)
+    num_points = np.ascontiguousarray(num_points, dtype=np.int32)
+    child_start = np.ascontiguousarray(child_start, dtype=np.int32)
+    child_end = np.ascontiguousarray(child_end, dtype=np.int32)
+    order = np.empty(max_out, dtype=np.int32)
+    sizes = np.empty(max_out, dtype=np.float64)
+    emitted = h.cull_lod_heap_f64(
+        _ptr(matrix, ctypes.c_double), _ptr(axes, ctypes.c_double),
+        _ptr(qmin, ctypes.c_double), _ptr(qmax, ctypes.c_double), len(axes),
+        _ptr(node_min, ctypes.c_double), _ptr(edge, ctypes.c_double),
+        _ptr(num_points, ctypes.c_int32),
+        _ptr(child_start, ctypes.c_int32), _ptr(child_end, ctypes.c_int32),
+        ctypes.c_int32(root), int(max_out),
+        _ptr(order, ctypes.c_int32), _ptr(sizes, ctypes.c_double),
+    )
+    return order[:emitted], sizes[:emitted]
 
 
 def parse_octree_meta(data: bytes):

@@ -14,6 +14,7 @@
 #include <atomic>
 #include <cmath>
 #include <limits>
+#include <queue>
 #include <thread>
 #include <vector>
 
@@ -557,6 +558,53 @@ void gather_rows(const uint8_t* src, const int64_t* idx, int64_t n,
 
 }  // extern "C" — template with C++ linkage
 
+// Per-node SAT out-test + projected-screen-size heuristic (reference:
+// src/octree/mod.rs:119-139).  Returns geometric visibility (not-Out);
+// `size_out` is the clamped projected xy-extent area.
+template <typename F>
+static inline bool eval_node_vis_size(const F* matrix, const F* axes,
+                                      const F* qmin, const F* qmax, int64_t a,
+                                      const F* mn, F e, F* size_out) {
+    // 8 cube corners, x fastest (matches _CORNER_UNIT).
+    F c[8][3];
+    for (int ci = 0; ci < 8; ++ci) {
+        c[ci][0] = mn[0] + ((ci & 1) ? e : F(0));
+        c[ci][1] = mn[1] + ((ci & 2) ? e : F(0));
+        c[ci][2] = mn[2] + ((ci & 4) ? e : F(0));
+    }
+    // SAT out-test against the cached frustum axes (visibility only
+    // needs Out vs not-Out; early exit on the first separating axis).
+    bool out = false;
+    for (int64_t ax = 0; ax < a && !out; ++ax) {
+        const F* av = axes + 3 * ax;
+        F bmin = std::numeric_limits<F>::max();
+        F bmax = std::numeric_limits<F>::lowest();
+        for (int ci = 0; ci < 8; ++ci) {
+            const F p =
+                c[ci][0] * av[0] + c[ci][1] * av[1] + c[ci][2] * av[2];
+            bmin = std::min(bmin, p);
+            bmax = std::max(bmax, p);
+        }
+        if (bmin > qmax[ax] || bmax < qmin[ax]) out = true;
+    }
+    // Screen-size heuristic: clamped xy extent of the projected cube.
+    F xmin = F(1), xmax = F(-1), ymin = F(1), ymax = F(-1);
+    for (int ci = 0; ci < 8; ++ci) {
+        const F w = matrix[12] * c[ci][0] + matrix[13] * c[ci][1] +
+                    matrix[14] * c[ci][2] + matrix[15];
+        const F px = (matrix[0] * c[ci][0] + matrix[1] * c[ci][1] +
+                      matrix[2] * c[ci][2] + matrix[3]) / w;
+        const F py = (matrix[4] * c[ci][0] + matrix[5] * c[ci][1] +
+                      matrix[6] * c[ci][2] + matrix[7]) / w;
+        const F cx = px < F(-1) ? F(-1) : (px > F(1) ? F(1) : px);
+        const F cy = py < F(-1) ? F(-1) : (py > F(1) ? F(1) : py);
+        xmin = std::min(xmin, cx); xmax = std::max(xmax, cx);
+        ymin = std::min(ymin, cy); ymax = std::max(ymax, cy);
+    }
+    *size_out = (xmax - xmin) * (ymax - ymin);
+    return !out;
+}
+
 template <typename F>
 static void cull_lod_select_impl(const F* matrix, const F* axes, const F* qmin,
                                  const F* qmax, int64_t a, const F* node_min,
@@ -566,48 +614,10 @@ static void cull_lod_select_impl(const F* matrix, const F* axes, const F* qmin,
                                  uint8_t* visible_out) {
     std::vector<F> priority(k);
     for (int64_t i = 0; i < k; ++i) {
-        const F e = edge[i];
-        const F mn[3] = {node_min[3 * i], node_min[3 * i + 1],
-                         node_min[3 * i + 2]};
-        // 8 cube corners, x fastest (matches _CORNER_UNIT).
-        F c[8][3];
-        for (int ci = 0; ci < 8; ++ci) {
-            c[ci][0] = mn[0] + ((ci & 1) ? e : F(0));
-            c[ci][1] = mn[1] + ((ci & 2) ? e : F(0));
-            c[ci][2] = mn[2] + ((ci & 4) ? e : F(0));
-        }
-        // SAT out-test against the cached frustum axes (visibility only
-        // needs Out vs not-Out; early exit on the first separating axis).
-        bool out = false;
-        for (int64_t ax = 0; ax < a && !out; ++ax) {
-            const F* av = axes + 3 * ax;
-            F bmin = std::numeric_limits<F>::max();
-            F bmax = std::numeric_limits<F>::lowest();
-            for (int ci = 0; ci < 8; ++ci) {
-                const F p =
-                    c[ci][0] * av[0] + c[ci][1] * av[1] + c[ci][2] * av[2];
-                bmin = std::min(bmin, p);
-                bmax = std::max(bmax, p);
-            }
-            if (bmin > qmax[ax] || bmax < qmin[ax]) out = true;
-        }
-        // Screen-size heuristic: clamped xy extent of the projected cube
-        // (reference: src/octree/mod.rs:119-139).
-        F xmin = F(1), xmax = F(-1), ymin = F(1), ymax = F(-1);
-        for (int ci = 0; ci < 8; ++ci) {
-            const F w = matrix[12] * c[ci][0] + matrix[13] * c[ci][1] +
-                        matrix[14] * c[ci][2] + matrix[15];
-            const F px = (matrix[0] * c[ci][0] + matrix[1] * c[ci][1] +
-                          matrix[2] * c[ci][2] + matrix[3]) / w;
-            const F py = (matrix[4] * c[ci][0] + matrix[5] * c[ci][1] +
-                          matrix[6] * c[ci][2] + matrix[7]) / w;
-            const F cx = px < F(-1) ? F(-1) : (px > F(1) ? F(1) : px);
-            const F cy = py < F(-1) ? F(-1) : (py > F(1) ? F(1) : py);
-            xmin = std::min(xmin, cx); xmax = std::max(xmax, cx);
-            ymin = std::min(ymin, cy); ymax = std::max(ymax, cy);
-        }
-        const F size = (xmax - xmin) * (ymax - ymin);
-        const bool vis = !out && num_points[i] > 0;
+        F size;
+        const bool not_out = eval_node_vis_size<F>(
+            matrix, axes, qmin, qmax, a, node_min + 3 * i, edge[i], &size);
+        const bool vis = not_out && num_points[i] > 0;
         sizes_out[i] = size;
         visible_out[i] = vis ? 1 : 0;
         priority[i] = vis ? size : std::numeric_limits<F>::lowest();
@@ -646,6 +656,77 @@ void cull_lod_select_f64(const double* matrix, const double* axes,
     cull_lod_select_impl<double>(matrix, axes, qmin, qmax, a, node_min, edge,
                                  num_points, k, max_out, order_out, sizes_out,
                                  visible_out);
+}
+
+}  // extern "C"
+
+// Best-first heap traversal of the node tree — the reference's visible-node
+// semantics (src/octree/mod.rs:228-283: pop the largest-screen-size node,
+// emit, push its children) with early exit at the node budget.  Cost is
+// O(emitted * 8 * log heap) and INDEPENDENT of the table size, so the
+// all-visible worst case at 1M nodes meets the frame budget (the flat
+// kernel scans every node).  Correct because a child's clamped projected
+// extent never exceeds its parent's (point-wise containment under any
+// projective map), so pop order is globally largest-first and everything
+// still unpushed is covered by an ancestor already in the heap.
+template <typename F>
+static int64_t cull_lod_heap_impl(const F* matrix, const F* axes,
+                                  const F* qmin, const F* qmax, int64_t a,
+                                  const F* node_min, const F* edge,
+                                  const int32_t* num_points,
+                                  const int32_t* child_start,
+                                  const int32_t* child_end, int32_t root,
+                                  int64_t max_out, int32_t* order_out,
+                                  F* sizes_out) {
+    struct Item {
+        F size;
+        int32_t idx;
+    };
+    const auto less = [](const Item& x, const Item& y) {
+        // max-heap by (size, then smaller index first) — deterministic ties.
+        return x.size < y.size || (x.size == y.size && x.idx > y.idx);
+    };
+    std::priority_queue<Item, std::vector<Item>, decltype(less)> heap(less);
+    F size;
+    if (root >= 0 &&
+        eval_node_vis_size<F>(matrix, axes, qmin, qmax, a,
+                              node_min + 3 * root, edge[root], &size)) {
+        heap.push({size, root});
+    }
+    int64_t emitted = 0;
+    while (!heap.empty() && emitted < max_out) {
+        const Item it = heap.top();
+        heap.pop();
+        if (num_points[it.idx] > 0) {
+            order_out[emitted] = it.idx;
+            sizes_out[emitted] = it.size;
+            ++emitted;
+        }
+        for (int32_t c = child_start[it.idx]; c < child_end[it.idx]; ++c) {
+            F csize;
+            if (eval_node_vis_size<F>(matrix, axes, qmin, qmax, a,
+                                      node_min + 3 * c, edge[c], &csize)) {
+                heap.push({csize, c});
+            }
+        }
+    }
+    return emitted;
+}
+
+extern "C" {
+
+int64_t cull_lod_heap_f64(const double* matrix, const double* axes,
+                          const double* qmin, const double* qmax, int64_t a,
+                          const double* node_min, const double* edge,
+                          const int32_t* num_points,
+                          const int32_t* child_start,
+                          const int32_t* child_end, int32_t root,
+                          int64_t max_out, int32_t* order_out,
+                          double* sizes_out) {
+    return cull_lod_heap_impl<double>(matrix, axes, qmin, qmax, a, node_min,
+                                      edge, num_points, child_start,
+                                      child_end, root, max_out, order_out,
+                                      sizes_out);
 }
 
 // ---------------------------------------------------------------------------

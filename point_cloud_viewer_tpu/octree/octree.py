@@ -167,13 +167,15 @@ class Octree:
         # flat-array analogue of the reference's top-down traversal,
         # src/octree/mod.rs:228-283).
         self._coarse = None
+        self._heap = None
         if len(self.levels) >= _HIER_THRESHOLD:
             from .. import native
 
-            # The hierarchical path only runs through the native kernel;
-            # building the index under numpy fallbacks is wasted open time.
+            # The hierarchical paths only run through the native kernels;
+            # building the indexes under numpy fallbacks is wasted open time.
             if native.available():
                 self._build_coarse_index()
+                self._build_heap_index()
 
     @classmethod
     def from_directory(cls, directory: str) -> "Octree":
@@ -204,6 +206,63 @@ class Octree:
             "offsets": offsets,
             "member_idx": member_idx,
             "shallow_idx": np.nonzero(~deep)[0].astype(np.int64),
+        }
+
+    def _build_heap_index(self) -> None:
+        """Children adjacency for the best-first heap cull: nodes sorted by
+        (level, path) so every node's children form one contiguous range in
+        the next level's slice.  Requires the meta invariant that every
+        node's ancestors are recorded (the builder guarantees it; the
+        reference's top-down traversal needs the same,
+        src/octree/mod.rs:228-283)."""
+        n = len(self.levels)
+        lv = self.levels.astype(np.int64)
+        order = np.lexsort((self.path_lo, self.path_hi, lv))
+        s_lv = lv[order]
+        s_hi = self.path_hi[order]
+        s_lo = self.path_lo[order]
+        max_lv = int(s_lv[-1]) if n else 0
+        level_starts = np.searchsorted(s_lv, np.arange(max_lv + 2))
+        child_start = np.zeros(n, dtype=np.int32)
+        child_end = np.zeros(n, dtype=np.int32)
+        for l in range(max_lv):
+            a, b = int(level_starts[l]), int(level_starts[l + 1])
+            c, d = int(level_starts[l + 1]), int(level_starts[l + 2])
+            if a == b or c == d:
+                continue
+            if 3 * (l + 1) <= 63:
+                # Paths fit one u64 word (the common, builder-range case).
+                lo_b = s_lo[a:b] << np.uint64(3)
+                st = np.searchsorted(s_lo[c:d], lo_b, side="left")
+                en = np.searchsorted(s_lo[c:d], lo_b + np.uint64(8), side="left")
+            else:
+                pk = (s_hi[a:b].astype(object) << 64) | s_lo[a:b].astype(object)
+                ck = (s_hi[c:d].astype(object) << 64) | s_lo[c:d].astype(object)
+                lo_b = np.array([int(v) << 3 for v in pk], dtype=object)
+                hi_b = np.array([(int(v) << 3) + 8 for v in pk], dtype=object)
+                st = np.searchsorted(ck, lo_b, side="left")
+                en = np.searchsorted(ck, hi_b, side="left")
+            child_start[a:b] = (st + c).astype(np.int32)
+            child_end[a:b] = (en + c).astype(np.int32)
+        root = int(level_starts[0]) if level_starts[1] > level_starts[0] else -1
+        # Safety: the traversal reaches a node only through its parent.  If
+        # the meta violates the ancestor invariant (each non-root node's
+        # parent recorded exactly once), disable the heap path rather than
+        # silently dropping subtrees.
+        linked = int((child_end.astype(np.int64) - child_start).sum())
+        if root < 0 or linked != n - 1:
+            self._heap = None
+            return
+        self._heap = {
+            "mins": np.ascontiguousarray(self.cube_mins[order]),
+            "edges": np.ascontiguousarray(self.cube_edges[order]),
+            "num_points": np.ascontiguousarray(
+                self.num_points[order].astype(np.int32)
+            ),
+            "child_start": child_start,
+            "child_end": child_end,
+            "root": root,
+            "order": order.astype(np.int64),
         }
 
     def __len__(self) -> int:
@@ -262,6 +321,22 @@ class Octree:
         cached = frustum.intersector().cached_axes_for_aabb()
         proj = cached.corners @ cached.axes.T  # (8, A)
         qmin, qmax = proj.min(axis=0), proj.max(axis=0)
+
+        if max_nodes is not None and self._heap is not None:
+            # Bounded node budget: best-first heap traversal touches only
+            # O(max_nodes) nodes regardless of table size or how much of
+            # the cloud the camera sees — the all-visible worst case costs
+            # the same as a narrow view (reference heap semantics,
+            # src/octree/mod.rs:228-283).
+            hp = self._heap
+            out = native.cull_lod_heap(
+                frustum.clip_from_query, cached.axes, qmin, qmax,
+                hp["mins"], hp["edges"], hp["num_points"],
+                hp["child_start"], hp["child_end"], hp["root"], max_nodes,
+            )
+            if out is not None:
+                order_s, sizes = out
+                return hp["order"][order_s], sizes
 
         if self._coarse is not None and native.available():
             # Phase 1: cull the level-_COARSE_LEVEL ancestor cells (exact:
