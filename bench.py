@@ -105,6 +105,150 @@ def time_device_core(batch, resolution: float, repeats: int = 3) -> float:
     return (time.perf_counter() - t0) / repeats
 
 
+def bench_device_scaling(
+    sizes=(16_000_000, 64_000_000, 128_000_000), depth: int = 21, repeats: int = 2
+) -> dict:
+    """Device-core scaling with DEVICE-RESIDENT data — the production
+    layout on local-HBM hardware (BASELINE config 2): uniform random Morton
+    codes are generated on device (uniform cells at `depth` ==
+    uniform 63-bit codes), the full core (sort + leaf assignment + LOD
+    promotion) runs jitted, and timing fetches one dependent scalar
+    (block_until_ready is a no-op on relayed backends).
+
+    Also isolates the lax.sort share and measures an achieved-HBM-bandwidth
+    probe (cumsum: one read + one write stream) so the sort can be judged
+    against a radix-sort roofline (VERDICT r2 item 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from point_cloud_viewer_tpu.ops.tree_build import build_tree_device_codes
+
+    out = {}
+
+    def timed_scalar(fn, *args):
+        fn(*args)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            fn(*args)
+        return (time.perf_counter() - t0) / repeats
+
+    key = jax.random.key(0)
+
+    # Achieved-bandwidth probe first: an optimization_barrier'd add stream
+    # (one read + one write per element), amortized over an in-device
+    # fori_loop so the relay's ~28 ms dispatch floor doesn't mask kernel
+    # time.  Measured 336 GB/s on the v5e here (spec ~819).
+    try:
+        n_probe = 128_000_000
+        iters = 20
+        x = jax.jit(lambda k: jax.random.uniform(k, (n_probe,), jnp.float32))(key)
+
+        @jax.jit
+        def probe(v):
+            def body(i, acc):
+                y = jax.lax.optimization_barrier(v + acc)
+                return y[0] * 1e-30 + y[-1] * 1e-30
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+
+        probe_s = timed_scalar(lambda v: float(probe(v)), x) / iters
+        out["hbm_probe_gbps"] = round(2 * 4 * n_probe / probe_s / 1e9, 1)
+        del x
+    except Exception:
+        pass
+
+    for n in sizes:
+        tag = f"{n // 1_000_000}m"
+        try:
+            bits = jax.jit(
+                lambda k: jax.random.bits(k, (2, n), dtype=jnp.uint32)
+            )(key)
+            # hi carries code bits 32..62: top 3*depth-32 bits random.
+            hi = bits[0] >> jnp.uint32(64 - 3 * depth)
+            lo = bits[1]
+
+            @jax.jit
+            def core(h, l):
+                idx, cur, leaf = build_tree_device_codes(h, l, depth, depth)
+                return (
+                    jnp.sum(cur.astype(jnp.int32))
+                    + idx[0].astype(jnp.int32)
+                    + leaf[-1].astype(jnp.int32)
+                )
+
+            core_s = timed_scalar(lambda h, l: int(core(h, l)), hi, lo)
+            out[f"device_core_s_{tag}"] = round(core_s, 4)
+            out[f"device_core_mpoints_per_sec_{tag}"] = round(n / core_s / 1e6, 2)
+
+            @jax.jit
+            def sort_only(h, l):
+                idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
+                sh, sl, si = jax.lax.sort((h, l, idx), num_keys=2, is_stable=True)
+                return (sh[0] + sl[-1] + si[0]).astype(jnp.uint32)
+
+            sort_s = timed_scalar(lambda h, l: int(sort_only(h, l)), hi, lo)
+            out[f"device_sort_s_{tag}"] = round(sort_s, 4)
+            if "hbm_probe_gbps" in out:
+                # How many x slower than an ideal 8-bit-digit LSD radix
+                # sort of the (hi, lo, idx) tuples at the MEASURED achieved
+                # bandwidth: 8 passes x (read + write) x 12 B.
+                ideal_s = 8 * 2 * 12 * n / (out["hbm_probe_gbps"] * 1e9)
+                out[f"sort_vs_radix8_roofline_x_{tag}"] = round(
+                    sort_s / ideal_s, 1
+                )
+        except Exception as e:  # OOM at the largest size: report what fits
+            out[f"device_core_s_{tag}"] = f"failed: {type(e).__name__}"
+            break
+    return out
+
+
+def bench_xray_splat(n: int = 8_000_000, image_size: int = 256) -> dict:
+    """X-ray splat throughput, host unique/bincount vs jitted device
+    scatter-add kernels (BASELINE config 4; reference hot loop
+    xray/src/generation.rs:99-136).  One 256^2 tile, density strategy."""
+    from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+    from point_cloud_viewer_tpu.math.geometry import Aabb
+    from point_cloud_viewer_tpu.xray.generation import make_strategy
+
+    rng = np.random.default_rng(2)
+    bbox = Aabb(np.zeros(3), np.array([100.0, 100.0, 30.0]))
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * np.array([100.0, 100.0, 30.0]),
+        attributes={},
+    )
+    out = {}
+    for label, device in (("host", False), ("device", True)):
+        s = make_strategy("xray", device=device)
+        s.process(batch, bbox, image_size)
+        s.render(image_size)  # warm (compile on the device path)
+        t0 = time.perf_counter()
+        s.render(image_size)
+        dt = time.perf_counter() - t0
+        out[f"xray_splat_{label}_mpoints_per_sec"] = round(n / dt / 1e6, 2)
+
+    # Device-RESIDENT kernel rate (keys already in HBM — the production
+    # layout; the end-to-end device number above pays the relay transfer).
+    import jax
+    import jax.numpy as jnp
+
+    from point_cloud_viewer_tpu.xray.device_splat import _xray_occupancy
+
+    s = make_strategy("xray")
+    s.process(batch, bbox, image_size)
+    keys = jnp.asarray(np.concatenate(s._keys).astype(np.uint32))
+
+    def run():
+        return int(_xray_occupancy(keys, image_size)[0])
+
+    run()
+    run()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        run()
+    dt = (time.perf_counter() - t0) / 3
+    out["xray_splat_device_resident_mpoints_per_sec"] = round(n / dt / 1e6, 2)
+    return out
+
+
 def time_cull(num_nodes: int, frames: int = 200):
     """ms/frame of the cull+LOD step over a node table sized like a
     100M-point octree (~num_nodes nodes).
@@ -360,6 +504,8 @@ def main() -> None:
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--queries", action="store_true",
                         help="Also run the streaming-query benchmark suite.")
+    parser.add_argument("--skip-scaling", action="store_true",
+                        help="Skip the 16M-128M device-resident scaling runs.")
     args = parser.parse_args()
 
     batch = synth_points(args.n)
@@ -390,6 +536,9 @@ def main() -> None:
     cull_1m_ms, cull_1m_all_ms = time_cull_1m_nodes()
 
     extra = bench_queries() if args.queries else {}
+    if not args.skip_scaling:
+        extra.update(bench_device_scaling())
+        extra.update(bench_xray_splat())
 
     print(
         json.dumps(

@@ -61,9 +61,6 @@ def main(argv=None) -> int:
         )
     if args.spill_directory and not args.streaming:
         parser.error("--spill_directory requires --streaming")
-    if args.use_device and args.streaming:
-        parser.error("--use_device is not supported with --streaming")
-
     if args.streaming:
         from ..io.ply import PlyReader
         from ..octree.streaming import build_octree_streaming
@@ -75,6 +72,7 @@ def main(argv=None) -> int:
             attributes=args.attributes,
             bucket_levels=args.bucket_levels,
             spill_directory=args.spill_directory,
+            use_device=args.use_device,
         )
     else:
         from ..octree.builder import build_octree_from_file

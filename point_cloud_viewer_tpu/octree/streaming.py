@@ -133,6 +133,7 @@ def build_octree_streaming(
     attributes: Optional[Sequence[str]] = None,
     bucket_levels: int = 2,
     spill_directory: Optional[str] = None,
+    use_device: bool = False,
 ) -> BuildResult:
     """Bounded-memory build: peak RAM ~ the largest bucket (~N/8^B for
     spatially spread data) instead of the whole cloud.
@@ -147,6 +148,12 @@ def build_octree_streaming(
     its spill files are deleted.  Re-running the same call after a crash
     skips the spill pass and all finished buckets (the result is
     byte-identical to an uninterrupted build; enforced by tests).
+
+    `use_device`: run each bucket's subtree derivation (sort + leaf
+    assignment + LOD promotion) on the default JAX device — this is how the
+    53 Mpts/s device core scales past HBM: buckets bound the device working
+    set, codes ship 8 B/pt up and (order, levels) 6 B/pt down, and output
+    stays byte-identical to the host path.
     """
     import json
 
@@ -314,6 +321,7 @@ def build_octree_streaming(
             root_cube=root_cube,
             resolution=resolution,
             depth_cap=depth_cap,
+            use_device=use_device,
         )
         recorded.extend(nodes)
         top_inputs.append((b_levels, residual))
@@ -406,19 +414,47 @@ def _build_bucket_subtree(
     root_cube: Cube,
     resolution: float,
     depth_cap: int,
+    use_device: bool = False,
 ) -> Tuple[PointsBatch, List[Tuple[NodeId, int]]]:
     """Build the subtree under one level-B node: writes all nodes at levels
     > B, returns the bucket node's residual points (its post-promotion
-    content, NOT yet written — the top pass promotes out of it)."""
-    codes, _ = morton.quantize_and_encode(
-        batch.position, root_cube.min, root_cube.edge_length, depth_cap
-    )
-    codes, order = morton.argsort_codes(codes)
-
+    content, NOT yet written — the top pass promotes out of it).
+    `use_device`: sort + leaf assignment + LOD promotion run as one jitted
+    program on the default JAX device (minimal transfers: 8 B/pt up,
+    6 B/pt down), bit-identical to the host kernels."""
     n = len(batch)
     from .. import native
     from ..core.constants import MAX_POINTS_PER_NODE
     from .builder import _group_subtree_levels
+
+    if use_device:
+        import jax.numpy as jnp
+
+        from ..ops.tree_build import build_tree_device_codes
+
+        codes_unsorted, _ = morton.quantize_and_encode(
+            batch.position, root_cube.min, root_cube.edge_length, depth_cap
+        )
+        hi, lo = morton.split_u64(codes_unsorted)
+        d_idx, d_final, d_leaf = build_tree_device_codes(
+            jnp.asarray(hi), jnp.asarray(lo), depth_cap, depth_cap,
+            root_level=bucket_level, stop_level=bucket_level,
+        )
+        order = np.asarray(d_idx).astype(np.int64)
+        codes = codes_unsorted[order]
+        final_nodes, residual_idx = _group_subtree_levels(
+            codes, np.asarray(d_final), np.asarray(d_leaf), depth_cap,
+            bucket_level,
+        )
+        nodes = _write_levels(
+            output_directory, final_nodes, batch, order, root_cube, resolution
+        )
+        return batch.take(order[residual_idx]), nodes
+
+    codes, _ = morton.quantize_and_encode(
+        batch.position, root_cube.min, root_cube.edge_length, depth_cap
+    )
+    codes, order = morton.argsort_codes(codes)
 
     out = native.tree_levels(
         codes, depth_cap, depth_cap, MAX_POINTS_PER_NODE,

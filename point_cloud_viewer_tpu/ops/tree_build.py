@@ -104,6 +104,79 @@ def _starts_all_levels(hi: jnp.ndarray, lo: jnp.ndarray, depth: int,
     return starts.at[0, :].set(True)
 
 
+# Above this (N x L) working-set size the level-batched formulation's
+# temporaries (several (N, L) i32 arrays) outgrow HBM; the level-looped
+# formulation below keeps O(N) temporaries at the same total FLOPs.
+_SEGMENT_MATRIX_MAX_ELEMS = 768_000_000
+
+
+def _assign_and_promote_looped(hi, lo, depth, max_split_level,
+                               max_points_per_node, root_level, stop_level):
+    """Memory-light twin of _assign_and_promote: a lax.fori_loop over
+    levels with (N,) temporaries instead of materializing (N, L) scan
+    matrices — required for 100M+ point device builds (same rules,
+    bit-identical output).  fori_loop (not a Python loop) matters: an
+    unrolled level loop lets the XLA scheduler interleave all levels'
+    scans and keep every 0.5 GB temporary alive at once (measured 23.6 GB
+    at 128M); the loop serializes them to O(N) live bytes."""
+    n = hi.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    # Prefix-change xor, computed once; index 0 forced to a nonzero
+    # sentinel so every level's starts[0] is True.
+    x_hi = hi ^ jnp.concatenate([hi[:1] ^ jnp.uint32(0xFFFFFFFF), hi[:-1]])
+    x_lo = lo ^ jnp.concatenate([lo[:1] ^ jnp.uint32(0xFFFFFFFF), lo[:-1]])
+
+    def starts_at(level):
+        """Segment starts for a TRACED level (dynamic shift)."""
+        shift = 3 * (depth - level)
+        ge = shift >= 32
+        sh_hi = jnp.where(ge, shift - 32, 0).astype(jnp.uint32)
+        sh_lo = jnp.where(ge, 0, shift).astype(jnp.uint32)
+        return jnp.where(
+            ge, (x_hi >> sh_hi) != 0, (x_hi != 0) | ((x_lo >> sh_lo) != 0)
+        )
+
+    def leaf_body(i, carry):
+        leaf, found = carry
+        level = root_level + 1 + i
+        starts = starts_at(level)
+        seg_start = jax.lax.cummax(jnp.where(starts, iota, 0))
+        nb = jnp.where(starts, iota, n)
+        nxt = jax.lax.cummin(nb[::-1])[::-1]
+        seg_end = jnp.concatenate([nxt[1:], jnp.full((1,), n, dtype=nxt.dtype)])
+        small = (seg_end - seg_start) <= max_points_per_node
+        leaf = jnp.where(~found & small, level, leaf)
+        return leaf, found | small
+
+    leaf, _ = jax.lax.fori_loop(
+        0, max_split_level - root_level, leaf_body,
+        (jnp.full(n, max_split_level, dtype=jnp.int32), jnp.zeros(n, dtype=bool)),
+    )
+
+    def promo_body(i, cur):
+        level = max_split_level - i
+        starts = starts_at(level)
+        active = cur == level
+
+        def _promote_level(args):
+            cur_, active_, starts_, level_ = args
+            rank = _segmented_rank(active_, starts_)
+            promote = active_ & (rank % 8 == 0)
+            return jnp.where(promote, level_ - 1, cur_)
+
+        return jax.lax.cond(
+            jnp.any(active),
+            _promote_level,
+            lambda args: args[0],
+            (cur, active, starts, level),
+        )
+
+    cur = jax.lax.fori_loop(
+        0, max_split_level - stop_level, promo_body, leaf
+    )
+    return leaf, cur
+
+
 def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node,
                         root_level: int = 0, stop_level: int = 0):
     """Sorted (hi, lo) codes -> (leaf_level, final_level) int32 per point.
@@ -126,6 +199,11 @@ def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node,
     assert root_level < max_split_level
     n = hi.shape[0]
     levels_n = max_split_level - root_level
+    if n * levels_n > _SEGMENT_MATRIX_MAX_ELEMS:
+        return _assign_and_promote_looped(
+            hi, lo, depth, max_split_level, max_points_per_node,
+            root_level, stop_level,
+        )
     starts_all = _starts_all_levels(
         hi, lo, depth, max_split_level, min_level=root_level + 1
     )  # (N, L) for levels root_level+1..max_split_level
@@ -166,7 +244,11 @@ def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("depth", "max_split_level", "max_points_per_node")
+    jax.jit,
+    static_argnames=(
+        "depth", "max_split_level", "max_points_per_node", "root_level",
+        "stop_level",
+    ),
 )
 def build_tree_device_codes(
     hi: jnp.ndarray,  # (N,) uint32 Morton code bits 32..62 (unsorted)
@@ -174,16 +256,22 @@ def build_tree_device_codes(
     depth: int,
     max_split_level: int,
     max_points_per_node: int = MAX_POINTS_PER_NODE,
+    root_level: int = 0,
+    stop_level: int = 0,
 ):
     """Minimal-transfer build core: host-encoded Morton codes in (8 B/pt up),
     (order u32, final u8, leaf u8) out (6 B/pt down) — the host already has
     the unsorted codes, so sorted codes are recovered there as codes[order].
-    Same leaf/promotion rules as build_tree_device."""
+    Same leaf/promotion rules as build_tree_device; root_level/stop_level
+    give the subtree semantics of the native tree_levels kernel (the
+    out-of-core bucket builds and the sharded per-shard derivation)."""
     n = hi.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
     hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
     leaf, cur = _assign_and_promote(hi, lo, depth, max_split_level,
-                                    max_points_per_node)
+                                    max_points_per_node,
+                                    root_level=root_level,
+                                    stop_level=stop_level)
     return idx, cur.astype(jnp.uint8), leaf.astype(jnp.uint8)
 
 

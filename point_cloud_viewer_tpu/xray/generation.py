@@ -61,20 +61,36 @@ class ColoringStrategy:
 
 
 class XRayStrategy(ColoringStrategy):
-    """Density: gray level from the log-count of occupied z buckets."""
+    """Density: gray level from the log-count of occupied z buckets.
 
-    def __init__(self) -> None:
+    `device=True` runs the occupancy reduction (sort + run-start
+    scatter-add) as one jitted program on the default JAX device —
+    bit-exact vs the host unique/bincount path (integer counts)."""
+
+    def __init__(self, device: bool = False) -> None:
         self._keys = []
+        self.device = device
 
     def process(self, batch, bbox, image_size):
         pix, z, idx = discretize(batch.position, bbox, image_size)
         self._keys.append(pix * 2048 + z)
 
+    def _occupancy(self, image_size):
+        """-> (occupied pixel ids, distinct-z counts)."""
+        keys_all = np.concatenate(self._keys)
+        if self.device:
+            from .device_splat import xray_occupancy_device
+
+            counts = xray_occupancy_device(keys_all, image_size)
+            pix = np.nonzero(counts)[0]
+            return pix, counts[pix]
+        keys = np.unique(keys_all)  # distinct (pixel, z)
+        return np.unique(keys // 2048, return_counts=True)
+
     def render(self, image_size):
         img = np.zeros((image_size * image_size, 4), dtype=np.uint8)
         if self._keys:
-            keys = np.unique(np.concatenate(self._keys))  # distinct (pixel, z)
-            pix, counts = np.unique(keys // 2048, return_counts=True)
+            pix, counts = self._occupancy(image_size)
             saturation = np.log(counts.astype(np.float64)) / np.log(NUM_Z_BUCKETS)
             # A pixel spanning the full z range occupies 1025 distinct
             # buckets (z in [0, 1024] inclusive, like the reference's
@@ -101,11 +117,17 @@ def _binning_values(batch: PointsBatch, binning, idx: np.ndarray) -> np.ndarray:
 
 class _MeanOverBinsStrategy(ColoringStrategy):
     """Shared machinery: per-(pixel, bin) means of a value vector, then the
-    mean over bins per pixel."""
+    mean over bins per pixel.
 
-    def __init__(self, binning=None, channels: int = 1) -> None:
+    `device=True` runs the per-pixel reduction on the default JAX device
+    (supported for binning=None — the reference's default configuration;
+    the dynamic-width (pixel, bin) keyspace stays on host)."""
+
+    def __init__(self, binning=None, channels: int = 1,
+                 device: bool = False) -> None:
         self.binning = binning
         self.channels = channels
+        self.device = device and binning is None
         self._pix = []
         self._bin = []
         self._val = []  # (M, channels)
@@ -116,10 +138,12 @@ class _MeanOverBinsStrategy(ColoringStrategy):
         self._bin.append(_binning_values(batch, self.binning, idx))
         self._val.append(np.atleast_2d(values[idx].reshape(len(idx), -1)))
 
-    def _pixel_means(self):
+    def _pixel_means(self, image_size: int):
         """-> (pixels (K,), means (K, channels)) mean-over-bins values."""
         if not self._pix:
             return np.empty(0, np.int64), np.empty((0, self.channels))
+        if self.device:
+            return self._pixel_means_device(image_size)
         pix = np.concatenate(self._pix)
         bins = np.concatenate(self._bin)
         vals = np.concatenate(self._val, axis=0).astype(np.float64)
@@ -141,14 +165,43 @@ class _MeanOverBinsStrategy(ColoringStrategy):
         )
         return pix_ids, psums / pcounts[:, None]
 
+    def _pixel_means_device(self, image_size: int):
+        """Device (jitted scatter-add) twin of _pixel_means for the
+        unbinned case: integer-exact color sums, f64 moment sums — both
+        bit-equal to the host reductions (device_splat exactness note)."""
+        pix = np.concatenate(self._pix)
+        vals = np.concatenate(self._val, axis=0).astype(np.float64)
+        if self.channels == 3:
+            from .device_splat import color_sums_device
+
+            sums, counts = color_sums_device(
+                pix.astype(np.int64), np.round(vals).astype(np.uint8),
+                image_size,
+            )
+            occ = np.nonzero(counts)[0]
+            return occ, sums[occ].astype(np.float64) / counts[occ, None]
+        from .device_splat import moment_sums_device
+
+        counts, s1, _ = moment_sums_device(
+            pix.astype(np.int64), vals[:, 0], image_size
+        )
+        occ = np.nonzero(counts)[0]
+        return occ, (s1[occ] / counts[occ])[:, None]
+
 
 class PointColorStrategy(_MeanOverBinsStrategy):
-    """Binned mean of point colors (reference: generation.rs:294-363)."""
+    """Binned mean of point colors (reference: generation.rs:294-363).
+
+    Accumulates RAW u8 color values (sums of small ints are exact in f64
+    AND in the device's u32 scatter-add, so host and device renders are
+    bit-equal; the /255 scaling of the reference cancels against its *255
+    render and only reorders floating-point rounding — within the
+    reference's own HashMap-iteration nondeterminism)."""
 
     attributes = ("color",)
 
-    def __init__(self, binning=None) -> None:
-        super().__init__(binning, channels=3)
+    def __init__(self, binning=None, device: bool = False) -> None:
+        super().__init__(binning, channels=3, device=device)
         if binning is not None:
             self.attributes = ("color", binning[0])
 
@@ -156,13 +209,13 @@ class PointColorStrategy(_MeanOverBinsStrategy):
         color = batch.attributes.get("color")
         if color is None:
             raise KeyError("Coloring was requested, but point data without color found.")
-        self._accumulate(batch, bbox, image_size, color.astype(np.float64) / 255.0)
+        self._accumulate(batch, bbox, image_size, color.astype(np.float64))
 
     def render(self, image_size):
         img = np.zeros((image_size * image_size, 4), dtype=np.uint8)
-        pix, means = self._pixel_means()
+        pix, means = self._pixel_means(image_size)
         if len(pix):
-            img[pix, :3] = (means * 255.0).astype(np.uint8)
+            img[pix, :3] = means.astype(np.uint8)
             img[pix, 3] = 255
         return img.reshape(image_size, image_size, 4)
 
@@ -172,8 +225,9 @@ class IntensityStrategy(_MeanOverBinsStrategy):
     Negative intensities are dropped (the reference aborts the batch; we
     filter instead)."""
 
-    def __init__(self, min_intensity: float, max_intensity: float, binning=None) -> None:
-        super().__init__(binning, channels=1)
+    def __init__(self, min_intensity: float, max_intensity: float,
+                 binning=None, device: bool = False) -> None:
+        super().__init__(binning, channels=1, device=device)
         self.min = min_intensity
         self.max = max_intensity
         self.attributes = ("intensity",) if binning is None else ("intensity", binning[0])
@@ -192,7 +246,7 @@ class IntensityStrategy(_MeanOverBinsStrategy):
 
     def render(self, image_size):
         img = np.zeros((image_size * image_size, 4), dtype=np.uint8)
-        pix, means = self._pixel_means()
+        pix, means = self._pixel_means(image_size)
         if len(pix):
             mean = np.clip(means[:, 0], self.min, self.max)
             with np.errstate(invalid="ignore", divide="ignore"):
@@ -211,9 +265,11 @@ class IntensityStrategy(_MeanOverBinsStrategy):
 class HeightStddevStrategy(ColoringStrategy):
     """Per-pixel stddev of z through a colormap (generation.rs:365-405)."""
 
-    def __init__(self, max_stddev: float, colormap: Callable = cm.monochrome) -> None:
+    def __init__(self, max_stddev: float, colormap: Callable = cm.monochrome,
+                 device: bool = False) -> None:
         self.max_stddev = max_stddev
         self.colormap = colormap
+        self.device = device
         self._pix = []
         self._z = []
 
@@ -227,10 +283,19 @@ class HeightStddevStrategy(ColoringStrategy):
         if self._pix:
             pix = np.concatenate(self._pix)
             z = np.concatenate(self._z)
-            uniq, inv = np.unique(pix, return_inverse=True)
-            n = np.bincount(inv)
-            s1 = np.bincount(inv, weights=z)
-            s2 = np.bincount(inv, weights=z * z)
+            if self.device:
+                from .device_splat import moment_sums_device
+
+                n_all, s1_all, s2_all = moment_sums_device(
+                    pix.astype(np.int64), z, image_size
+                )
+                uniq = np.nonzero(n_all)[0]
+                n, s1, s2 = n_all[uniq], s1_all[uniq], s2_all[uniq]
+            else:
+                uniq, inv = np.unique(pix, return_inverse=True)
+                n = np.bincount(inv)
+                s1 = np.bincount(inv, weights=z)
+                s2 = np.bincount(inv, weights=z * z)
             var = np.maximum(s2 / n - (s1 / n) ** 2, 0.0)
             sat = np.clip(np.sqrt(var), 0.0, self.max_stddev) / self.max_stddev
             img[uniq] = self.colormap(sat.astype(np.float32))
@@ -239,17 +304,23 @@ class HeightStddevStrategy(ColoringStrategy):
 
 def make_strategy(kind: str, **kwargs) -> ColoringStrategy:
     """Factory mirroring the reference's ColoringStrategyKind
-    (xray/src/generation.rs:66-96)."""
+    (xray/src/generation.rs:66-96).  `device=True` routes each strategy's
+    splat reduction through the jitted TPU kernels (device_splat.py),
+    bit-identical to the host reductions."""
+    device = kwargs.get("device", False)
     if kind == "xray":
-        return XRayStrategy()
+        return XRayStrategy(device=device)
     if kind == "colored":
-        return PointColorStrategy(binning=kwargs.get("binning"))
+        return PointColorStrategy(binning=kwargs.get("binning"), device=device)
     if kind == "colored_with_intensity":
         return IntensityStrategy(
             kwargs.get("min_intensity", 1.0),
             kwargs.get("max_intensity", 1.0e5),
             binning=kwargs.get("binning"),
+            device=device,
         )
     if kind == "colored_with_height_stddev":
-        return HeightStddevStrategy(kwargs.get("max_stddev", 1.0))
+        return HeightStddevStrategy(
+            kwargs.get("max_stddev", 1.0), device=device
+        )
     raise ValueError(f"unknown coloring strategy {kind!r}")

@@ -180,3 +180,26 @@ def test_sharded_build_step_multichip():
         if len(v):
             assert int(v[0]) >= prev_max or prev_max == -1
             prev_max = int(v[-1])
+
+
+def test_assign_and_promote_looped_matches_matrix():
+    """The memory-light level-looped formulation (used for 100M+ device
+    builds) must be bit-identical to the level-batched one, including the
+    subtree (root/stop) semantics of the sharded and bucket builders."""
+    from point_cloud_viewer_tpu.ops import tree_build as tb
+
+    rng = np.random.default_rng(17)
+    n, depth = 60_000, 8
+    cells = rng.integers(0, 1 << depth, (n, 3)).astype(np.uint32)
+    cells[::5] = cells[0]  # heavy duplicates: exercises rank resets
+    hi, lo = morton.morton_encode_device(jnp.asarray(cells), depth)
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    for root, stop in [(0, 0), (2, 2), (0, 3)]:
+        a_leaf, a_cur = tb._assign_and_promote(
+            hi, lo, depth, depth, 100, root_level=root, stop_level=stop
+        )
+        b_leaf, b_cur = tb._assign_and_promote_looped(
+            hi, lo, depth, depth, 100, root, stop
+        )
+        np.testing.assert_array_equal(np.asarray(a_leaf), np.asarray(b_leaf))
+        np.testing.assert_array_equal(np.asarray(a_cur), np.asarray(b_cur))

@@ -24,7 +24,7 @@ from point_cloud_viewer_tpu.query.point_query import PointQuery
 from point_cloud_viewer_tpu.s2_cells.cell_union import CellUnion
 from point_cloud_viewer_tpu.s2_cells.splitter import build_s2_cloud
 
-N = 100_000
+N = 1_000_000  # the reference fixture's size (point_cloud_test/src/lib.rs:48)
 RESOLUTION = 0.01
 LAT, LNG = 37.4, -122.1  # fixed seed site
 EXTENT = 300.0  # meters

@@ -124,3 +124,24 @@ def test_sharded_build_nonpow2_meshes(tmp_path, n_devices):
             os.path.join(mesh_dir, f), "rb"
         ) as b:
             assert a.read() == b.read(), (n_devices, f)
+
+
+def test_exact_build_never_touches_f32_stats_path(tmp_path, monkeypatch):
+    """_local_step (the f32 stats/dryrun profile) must be unreachable from
+    build_octree(mesh=...): the exact builder quantizes f64 on host and
+    exchanges integer codes only.  Guarding against accidental reuse of the
+    f32 position path in the exact pipeline (ADVICE r2 / VERDICT weak #7)."""
+    from point_cloud_viewer_tpu.parallel import sharded_build
+
+    def _boom(*a, **k):
+        raise AssertionError("f32 stats path reached from the exact build")
+
+    monkeypatch.setattr(sharded_build, "_local_step", _boom)
+    rng = np.random.default_rng(123)
+    n = 30_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 20.0,
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+    result = build_octree(str(tmp_path / "o"), 0.01, batch, mesh=_cpu_mesh(4))
+    assert result.num_points == n

@@ -254,3 +254,37 @@ def test_streaming_corrupt_marker_is_clean_slate(tmp_path):
             str(tmp_path / "stream2"), 0.01, batch,
             bucket_levels=1, spill_directory=spill,
         )
+
+
+def test_streaming_use_device_byte_identical(tmp_path):
+    """The device-core bucket derivation (use_device=True) must produce
+    byte-identical output to the host streaming build — this is how the
+    device core scales past HBM (buckets bound the working set)."""
+    import os
+
+    import numpy as np
+
+    from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+    from point_cloud_viewer_tpu.octree.streaming import build_octree_streaming
+
+    rng = np.random.default_rng(77)
+    n = 250_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 40.0,
+        attributes={
+            "color": rng.integers(0, 256, (n, 3), dtype=np.uint8),
+            "intensity": rng.random(n).astype(np.float32),
+        },
+    )
+    host_dir = str(tmp_path / "host")
+    dev_dir = str(tmp_path / "dev")
+    build_octree_streaming(host_dir, 0.0005, batch, bucket_levels=1)
+    build_octree_streaming(dev_dir, 0.0005, batch, bucket_levels=1,
+                           use_device=True)
+    fa, fb = sorted(os.listdir(host_dir)), sorted(os.listdir(dev_dir))
+    assert fa == fb
+    for f in fa:
+        with open(os.path.join(host_dir, f), "rb") as a, open(
+            os.path.join(dev_dir, f), "rb"
+        ) as b:
+            assert a.read() == b.read(), f

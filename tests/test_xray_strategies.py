@@ -169,3 +169,42 @@ def test_intensity_strategy_drops_negative_points():
     painted = (img[:, :, 3] > 0).sum()
     # All valid points paint; the negative one does not abort the batch.
     assert painted >= 30, painted
+
+
+@pytest.mark.parametrize(
+    "kind,kwargs",
+    [
+        ("xray", {}),
+        ("colored", {}),
+        ("colored_with_intensity", {"min_intensity": 0.1, "max_intensity": 100.0}),
+        ("colored_with_height_stddev", {"max_stddev": 2.0}),
+    ],
+)
+def test_device_splat_matches_host_exactly(kind, kwargs):
+    """The jitted device splat kernels must render BIT-IDENTICAL images to
+    the host unique/bincount reductions for every strategy family
+    (VERDICT r2 item 5; reference hot loop xray/src/generation.rs:99-136)."""
+    from point_cloud_viewer_tpu.xray.generation import make_strategy
+
+    rng = np.random.default_rng(99)
+    n = 120_000
+    size = 64
+    bbox = Aabb(np.zeros(3), np.array([10.0, 10.0, 5.0]))
+    batches = [
+        PointsBatch(
+            position=rng.random((n // 2, 3)) * np.array([10.0, 10.0, 5.0]),
+            attributes={
+                "color": rng.integers(0, 256, (n // 2, 3), dtype=np.uint8),
+                "intensity": (rng.random(n // 2) * 50.0).astype(np.float32),
+            },
+        )
+        for _ in range(2)
+    ]
+    host = make_strategy(kind, **kwargs)
+    dev = make_strategy(kind, device=True, **kwargs)
+    for b in batches:
+        host.process(b, bbox, size)
+        dev.process(b, bbox, size)
+    img_host = host.render(size)
+    img_dev = dev.render(size)
+    np.testing.assert_array_equal(img_host, img_dev)
