@@ -35,6 +35,7 @@ GL_DOUBLE = 0x140A
 GL_UNSIGNED_BYTE = 0x1401
 GL_UNSIGNED_SHORT = 0x1403
 GL_VERTEX_SHADER = 0x8B31
+GL_GEOMETRY_SHADER = 0x8DD9
 GL_FRAGMENT_SHADER = 0x8B30
 GL_COMPILE_STATUS = 0x8B81
 GL_LINK_STATUS = 0x8B82

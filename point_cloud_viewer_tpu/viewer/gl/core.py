@@ -53,16 +53,27 @@ def _compile_shader(gl, kind: int, source: str) -> int:
 class GlProgram:
     """Compiled+linked GLSL program with a uniform-location cache."""
 
-    def __init__(self, gl, vertex_source: str, fragment_source: str) -> None:
+    def __init__(self, gl, vertex_source: str, fragment_source: str,
+                 geometry_source: str = None) -> None:
+        from .api import GL_GEOMETRY_SHADER
+
         self.gl = gl
         vs = _compile_shader(gl, GL_VERTEX_SHADER, vertex_source)
         fs = _compile_shader(gl, GL_FRAGMENT_SHADER, fragment_source)
+        gs = (
+            _compile_shader(gl, GL_GEOMETRY_SHADER, geometry_source)
+            if geometry_source is not None else None
+        )
         self.id = gl.glCreateProgram()
         gl.glAttachShader(self.id, vs)
         gl.glAttachShader(self.id, fs)
+        if gs is not None:
+            gl.glAttachShader(self.id, gs)
         gl.glLinkProgram(self.id)
         gl.glDeleteShader(vs)
         gl.glDeleteShader(fs)
+        if gs is not None:
+            gl.glDeleteShader(gs)
         status = ctypes.c_int()
         gl.glGetProgramiv(self.id, GL_LINK_STATUS, ctypes.byref(status))
         if not status.value:

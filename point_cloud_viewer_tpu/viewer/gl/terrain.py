@@ -38,7 +38,8 @@ from .api import (
 from .core import GlBuffer, GlProgram, GlVertexArray
 from .shaders import load_shader
 
-GRID_SIZE = 127  # quads per side per clipmap level (reference: 255)
+GRID_SIZE = 1023  # quads per side per clipmap level (reference: 1023,
+# sdl_viewer/src/terrain_drawer/mod.rs:22); tests pass smaller grids.
 
 
 def clipmap_mesh(grid_size: int = GRID_SIZE, ring_only: bool = False
@@ -117,7 +118,8 @@ class TerrainDrawerGL:
         ctx.make_current()
         gl = ctx.gl
         self.program = GlProgram(
-            gl, load_shader("terrain.vs"), load_shader("terrain.fs")
+            gl, load_shader("terrain.vs"), load_shader("terrain.fs"),
+            geometry_source=load_shader("terrain.gs"),
         )
         self._meshes = []
         for level in range(num_levels):

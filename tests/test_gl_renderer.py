@@ -337,3 +337,55 @@ def test_alpha_blending(renderer):
     assert opaque >= 250
     # Blended: roughly halfway between background (~17) and 255.
     assert 100 <= half <= 180, half
+
+
+def test_terrain_sparse_holes_render_clean(tmp_path, renderer):
+    """A missing terrain tile must leave a CLEAN hole: the geometry stage
+    drops every triangle of quads with an absent corner (the reference's
+    quad-adjacency bitmask, sdl_viewer/shaders/terrain.gs) instead of
+    stretching skirts across the gap."""
+    from point_cloud_viewer_tpu.viewer.gl.terrain import TerrainDrawerGL
+    from point_cloud_viewer_tpu.viewer.terrain import (
+        TerrainLayer, TerrainMetadata, tile_path,
+    )
+
+    d = str(tmp_path)
+    ts = 16
+    meta = TerrainMetadata(
+        tile_size=ts, world_origin_x=0.0, world_origin_y=0.0, resolution_m=1.0
+    )
+    meta.save(d)
+    hole = (4, 4)  # tile covering world [64, 80) x [64, 80)
+    for tx in range(8):
+        for ty in range(8):
+            if (tx, ty) == hole:
+                continue  # the hole: no tile on disk
+            np.full((ts, ts), 2.0, dtype="<f4").tofile(
+                tile_path(d, tx, ty, "height")
+            )
+            c = np.zeros((ts, ts, 4), dtype=np.uint8)
+            c[..., 0] = 200  # red terrain
+            c[..., 3] = 255
+            c.tofile(tile_path(d, tx, ty, "color"))
+
+    layer = TerrainLayer(d, window_size=64)
+    drawer = TerrainDrawerGL(renderer.ctx, layer, num_levels=2, grid_size=63)
+
+    center = np.array([72.0, 72.0, 2.0])  # over the hole center
+    eye = center + np.array([0.0, -1.0, 60.0])  # near-top-down
+    clip = _look_at_clip(eye, center)
+    renderer.begin_frame()
+    drawer.draw(clip, camera_xy=(center[0], center[1]))
+    img = renderer.read_frame()
+    h, w = img.shape[:2]
+
+    def red_at(frac_box):
+        y0, y1, x0, x1 = (int(f * s) for f, s in zip(
+            frac_box, (h, h, w, w)))
+        m = img[y0:y1, x0:x1]
+        return ((m[:, :, 0] > 120) & (m[:, :, 1] < 80)).sum()
+
+    # The frame is centered on the hole: its middle must show NO terrain,
+    # while the surroundings do.
+    assert red_at((0.45, 0.55, 0.45, 0.55)) == 0, "skirts drawn across hole"
+    assert red_at((0.0, 1.0, 0.0, 1.0)) > 1000, "terrain missing entirely"
