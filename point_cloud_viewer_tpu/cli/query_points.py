@@ -23,6 +23,11 @@ def main(argv=None) -> int:
                         help="Stop after this many points.")
     parser.add_argument("--batch_size", type=int, default=500_000)
     parser.add_argument("--num_threads", type=int, default=None)
+    parser.add_argument(
+        "--device_filter", action="store_true",
+        help="Run per-point geometry/interval filtering as jitted f64 "
+             "kernels on the default JAX device (bit-equal to host).",
+    )
     args = parser.parse_args(argv)
 
     from ..math.geometry import Aabb
@@ -41,7 +46,8 @@ def main(argv=None) -> int:
         intervals[k] = ClosedInterval.from_str(s)
 
     client = PointCloudClient.from_locations(
-        args.locations, batch_size=args.batch_size, num_threads=args.num_threads
+        args.locations, batch_size=args.batch_size,
+        num_threads=args.num_threads, device_filter=args.device_filter,
     )
     total = [0]
     start = time.perf_counter()

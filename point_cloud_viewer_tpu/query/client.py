@@ -68,6 +68,7 @@ class PointCloudClient:
         batch_size: int = NUM_POINTS_PER_BATCH,
         num_threads: Optional[int] = None,
         buffer_size: int = 4,
+        device_filter: bool = False,
     ) -> None:
         import os
 
@@ -75,6 +76,10 @@ class PointCloudClient:
         self.batch_size = batch_size
         self.num_threads = num_threads or max(1, (os.cpu_count() or 2) - 1)
         self.buffer_size = buffer_size
+        # Per-point filtering as jitted f64 device kernels
+        # (query/device_filter.py); bit-equal to the host masks, with
+        # automatic host fallback per query.
+        self.device_filter = device_filter
 
     @classmethod
     def from_locations(cls, locations: Sequence[str], **kwargs) -> "PointCloudClient":
@@ -156,7 +161,9 @@ class PointCloudClient:
                         break
                     cloud, node_id = job
                     batch = cloud.points_in_node(node_id, attributes=query.attributes)
-                    rebatcher.push(query.filter_batch(batch))
+                    rebatcher.push(
+                        query.filter_batch(batch, use_device=self.device_filter)
+                    )
                 rebatcher.flush()
             except _Cancelled:
                 pass

@@ -1,0 +1,132 @@
+"""Device (TPU) per-point query filtering — SURVEY §7.5's batched decode +
+cull + interval filter as device kernels (reference per-point loop:
+src/iterator.rs:93-119).
+
+One jitted f64 kernel per convex geometry (the x64-scoped pattern of
+xray/device_splat.py): box, OBB, frustum, plus the attribute interval
+filter — each mirrors its host twin's exact operation sequence
+(math/geometry.py contains()).  WebMercatorRect and S2 cell unions stay on
+host: their membership tests run through transcendental geodetic math
+(ecef_to_geodetic, Hilbert cell decomposition) whose libm rounding is not
+guaranteed to match between host and device — the host is the semantic
+reference, so those filters are not offloaded.
+
+`point_filter_mask` returns None when a query cannot run on device; the
+caller falls back to the host path (PointQuery.filter_batch does this
+automatically when use_device=True).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Scoped x64 (same pattern as xray/device_splat.py): membership compares
+# must run in f64 to match the host bit-for-bit.
+from jax._src.config import enable_x64 as _enable_x64
+
+from ..math.geometry import Aabb, Frustum, Obb
+from .location import AllPoints, GeometryLocation
+
+
+@jax.jit
+def _box_mask(p, mins, maxs):
+    return jnp.all((mins <= p) & (p < maxs), axis=-1)
+
+
+@jax.jit
+def _obb_mask(p, rot_t, translation, half_extent):
+    local = p @ rot_t + translation
+    return jnp.all(jnp.abs(local) <= half_extent, axis=-1)
+
+
+@jax.jit
+def _frustum_mask(p, m):
+    q = p @ m[:3, :3].T + m[:3, 3]
+    w = p @ m[3, :3].T + m[3, 3]
+    clip = q / w[..., None]
+    return jnp.all((clip > -1.0) & (clip < 1.0), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_intervals",))
+def _interval_mask(values, lows, highs, n_intervals):
+    keep = jnp.ones(values.shape[1], dtype=bool)
+    for i in range(n_intervals):
+        keep = keep & (values[i] >= lows[i]) & (values[i] <= highs[i])
+    return keep
+
+
+def point_filter_mask(
+    location,
+    positions: np.ndarray,
+    intervals: Optional[Dict[str, object]] = None,
+    attributes: Optional[Dict[str, np.ndarray]] = None,
+) -> Optional[np.ndarray]:
+    """(N, 3) f64 positions -> (N,) bool keep mask computed on the default
+    JAX device, or None if this query's geometry/filters cannot run there
+    (host fallback).  Bit-equal to the host mask for box/OBB/frustum +
+    scalar interval filters."""
+    geometry = getattr(location, "geometry", None)
+    if isinstance(location, AllPoints):
+        mask = None  # no geometric test; intervals may still apply
+    elif isinstance(location, GeometryLocation) and isinstance(geometry, Aabb):
+        mask = ("box", geometry)
+    elif isinstance(location, GeometryLocation) and isinstance(geometry, Obb):
+        mask = ("obb", geometry)
+    elif isinstance(location, GeometryLocation) and isinstance(
+        geometry, Frustum
+    ):
+        mask = ("frustum", geometry)
+    else:
+        return None  # WebMercatorRect / cell unions / custom: host only
+
+    intervals = intervals or {}
+    for name, interval in intervals.items():
+        data = (attributes or {}).get(name)
+        if data is None or np.asarray(data).ndim != 1:
+            return None  # missing attribute: let the host path raise
+        if not np.issubdtype(np.asarray(data).dtype, np.number):
+            return None
+
+    with _enable_x64(True):
+        p = jnp.asarray(np.atleast_2d(positions), dtype=jnp.float64)
+        if mask is None:
+            keep = jnp.ones(p.shape[0], dtype=bool)
+        elif mask[0] == "box":
+            g = mask[1]
+            keep = _box_mask(
+                p, jnp.asarray(g.mins, dtype=jnp.float64),
+                jnp.asarray(g.maxs, dtype=jnp.float64),
+            )
+        elif mask[0] == "obb":
+            g = mask[1]
+            iso = g.obb_from_query
+            keep = _obb_mask(
+                p,
+                jnp.asarray(iso.rotation.T, dtype=jnp.float64),
+                jnp.asarray(iso.translation, dtype=jnp.float64),
+                jnp.asarray(g.half_extent, dtype=jnp.float64),
+            )
+        else:
+            keep = _frustum_mask(
+                p, jnp.asarray(mask[1].clip_from_query, dtype=jnp.float64)
+            )
+        if intervals:
+            names = sorted(intervals)
+            vals = jnp.asarray(
+                np.stack(
+                    [np.asarray(attributes[n], dtype=np.float64) for n in names]
+                )
+            )
+            lows = jnp.asarray(
+                np.array([intervals[n].lower_bound for n in names], dtype=np.float64)
+            )
+            highs = jnp.asarray(
+                np.array([intervals[n].upper_bound for n in names], dtype=np.float64)
+            )
+            keep = keep & _interval_mask(vals, lows, highs, len(names))
+        return np.asarray(keep)

@@ -20,19 +20,40 @@ class PointQuery:
     def __post_init__(self) -> None:
         self.location = location_for(self.location)
 
-    def filter_batch(self, batch: PointsBatch) -> PointsBatch:
+    def filter_batch(
+        self, batch: PointsBatch, use_device: bool = False
+    ) -> PointsBatch:
         """Apply geometric culling + interval filters to a decoded node batch
-        (the reference's FilteredIterator, src/iterator.rs:93-119)."""
-        keep = self.location.contains(batch.position)
-        for attrib, interval in self.filter_intervals.items():
-            data = batch.attributes.get(attrib)
-            if data is None:
-                raise KeyError(
-                    "Filter attribute needs to be specified as query attribute."
-                )
-            if data.ndim != 1:
-                raise ValueError(f"interval filter on non-scalar attribute {attrib}")
-            keep = keep & interval.contains(data)
+        (the reference's FilteredIterator, src/iterator.rs:93-119).
+
+        `use_device`: the per-point mask runs as a jitted f64 kernel on the
+        default JAX device (query/device_filter.py) — bit-equal to the host
+        mask; queries it cannot serve (WebMercator, cell unions) fall back
+        to the host path automatically."""
+        keep = None
+        if use_device:
+            from .device_filter import point_filter_mask
+
+            # Returns None for queries it cannot serve — including missing
+            # or non-scalar filter attributes, so the host path below keeps
+            # raising the same errors.
+            keep = point_filter_mask(
+                self.location, batch.position,
+                intervals=self.filter_intervals, attributes=batch.attributes,
+            )
+        if keep is None:
+            keep = self.location.contains(batch.position)
+            for attrib, interval in self.filter_intervals.items():
+                data = batch.attributes.get(attrib)
+                if data is None:
+                    raise KeyError(
+                        "Filter attribute needs to be specified as query attribute."
+                    )
+                if data.ndim != 1:
+                    raise ValueError(
+                        f"interval filter on non-scalar attribute {attrib}"
+                    )
+                keep = keep & interval.contains(data)
         if keep.all():
             return batch
         return batch.retain(keep)

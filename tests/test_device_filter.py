@@ -1,0 +1,110 @@
+"""Device per-point query filtering (query/device_filter.py): the jitted
+f64 kernels must produce BIT-IDENTICAL keep masks to the host contains()
+paths, and unsupported queries must fall back to host (SURVEY §7.5;
+reference per-point loop src/iterator.rs:93-119)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+from point_cloud_viewer_tpu.math.geometry import (
+    Aabb, Frustum, Isometry, Obb, Perspective,
+)
+from point_cloud_viewer_tpu.math.intervals import ClosedInterval
+from point_cloud_viewer_tpu.query.device_filter import point_filter_mask
+from point_cloud_viewer_tpu.query.location import location_for
+from point_cloud_viewer_tpu.query.point_query import PointQuery
+
+
+@pytest.fixture(scope="module")
+def points():
+    rng = np.random.default_rng(31)
+    return rng.random((50_000, 3)) * 40.0 - 20.0
+
+
+def _geometries():
+    eye = Isometry.from_axis_angle([0, 1, 0], 0.4, translation=[0.0, 0.0, 30.0])
+    return {
+        "box": Aabb(np.array([-5.0, -3.0, -8.0]), np.array([7.0, 9.0, 2.0])),
+        "obb": Obb(
+            Isometry.from_axis_angle([1, 1, 0], 0.7, translation=[1.0, -2.0, 3.0]),
+            np.array([6.0, 4.0, 9.0]),
+        ),
+        "frustum": Frustum.new(eye, Perspective.from_fov(1.1, 0.9, 1.0, 60.0)),
+    }
+
+
+@pytest.mark.parametrize("kind", ["box", "obb", "frustum"])
+def test_device_mask_bit_equal(points, kind):
+    geometry = _geometries()[kind]
+    loc = location_for(geometry)
+    host = loc.contains(points)
+    dev = point_filter_mask(loc, points)
+    assert dev is not None
+    np.testing.assert_array_equal(host, dev)
+    assert 0 < host.sum() < len(points), "degenerate test geometry"
+
+
+def test_device_interval_filter_bit_equal(points):
+    rng = np.random.default_rng(5)
+    intensity = (rng.random(len(points)) * 100.0).astype(np.float32)
+    loc = location_for(_geometries()["box"])
+    iv = {"intensity": ClosedInterval(20.0, 60.0)}
+    host = loc.contains(points) & iv["intensity"].contains(intensity)
+    dev = point_filter_mask(loc, points, intervals=iv,
+                            attributes={"intensity": intensity})
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_unsupported_queries_fall_back(points):
+    from point_cloud_viewer_tpu.math.web_mercator import (
+        WebMercatorCoord, WebMercatorRect,
+    )
+
+    rect = WebMercatorRect(
+        WebMercatorCoord(np.array([0.2, 0.2])),
+        WebMercatorCoord(np.array([0.3, 0.3])),
+    )
+    assert point_filter_mask(location_for(rect), points) is None
+    # Missing/non-scalar filter attributes -> host handles (and raises).
+    loc = location_for(_geometries()["box"])
+    iv = {"missing": ClosedInterval(0.0, 1.0)}
+    assert point_filter_mask(loc, points, intervals=iv, attributes={}) is None
+
+
+def test_client_stream_with_device_filter(tmp_path):
+    """End-to-end: a device-filtered stream returns exactly the host
+    stream's points."""
+    from point_cloud_viewer_tpu.octree.builder import build_octree
+    from point_cloud_viewer_tpu.query.client import PointCloudClient
+
+    rng = np.random.default_rng(77)
+    n = 120_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 30.0,
+        attributes={
+            "color": rng.integers(0, 256, (n, 3), dtype=np.uint8),
+            "intensity": rng.random(n).astype(np.float32),
+        },
+    )
+    d = str(tmp_path / "oct")
+    build_octree(d, 0.01, batch)
+    query = PointQuery(
+        attributes=["color", "intensity"],
+        location=Aabb(np.array([5.0, 5.0, 5.0]), np.array([20.0, 25.0, 18.0])),
+        filter_intervals={"intensity": ClosedInterval(0.25, 0.75)},
+    )
+
+    def collect(client):
+        got = PointsBatch.concatenate(list(client.stream(query)))
+        order = np.lexsort(got.position.T)
+        return got.position[order]
+
+    host_pts = collect(PointCloudClient.from_locations([d]))
+    dev_pts = collect(
+        PointCloudClient.from_locations([d], device_filter=True)
+    )
+    np.testing.assert_array_equal(host_pts, dev_pts)
+    assert len(host_pts) > 100
