@@ -62,6 +62,12 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--num_threads", type=int, default=8)
     parser.add_argument(
+        "--device", action="store_true",
+        help="Run each tile's splat reduction as jitted TPU kernels "
+             "(bit-identical to the host reductions; binned strategies "
+             "fall back to host).",
+    )
+    parser.add_argument(
         "--extension", default=None, metavar="pkg.mod:attr",
         help="Plugin adding flags and/or a query_from_global transform "
              "(the reference's Extension trait analogue).",
@@ -103,6 +109,8 @@ def main(argv=None) -> int:
     if args.binning is not None:
         name, size = args.binning
         kwargs["binning"] = (name, float(size))
+    if args.device:
+        kwargs["device"] = True
 
     meta = build_xray_quadtree(
         args.coloring_strategy, params, strategy_kwargs=kwargs,

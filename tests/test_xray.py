@@ -203,3 +203,30 @@ def test_partial_build_and_merge(cloud_dir, tmp_path):
     build_xray_quadtree("xray", params, num_threads=2)
     full = XrayMeta.from_directory(full_dir)
     assert merged.nodes == full.nodes
+
+
+def test_build_xray_quadtree_device_byte_identical(cloud_dir, tmp_path):
+    """A full quadtree build with device splat kernels must write
+    byte-identical PNG tiles + meta to the host build."""
+    import os
+
+    for label, device in (("host", False), ("dev", True)):
+        out = str(tmp_path / label)
+        client = PointCloudClient.from_locations([cloud_dir], num_threads=2)
+        params = XrayParameters(
+            output_directory=out,
+            point_cloud_client=client,
+            tile_size_px=64,
+            pixel_size_m=0.05,
+        )
+        build_xray_quadtree(
+            "xray", params, strategy_kwargs={"device": device}, num_threads=2
+        )
+    fa = sorted(os.listdir(str(tmp_path / "host")))
+    fb = sorted(os.listdir(str(tmp_path / "dev")))
+    assert fa == fb and len(fa) > 3
+    for f in fa:
+        with open(tmp_path / "host" / f, "rb") as a, open(
+            tmp_path / "dev" / f, "rb"
+        ) as b:
+            assert a.read() == b.read(), f
