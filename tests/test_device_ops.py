@@ -195,11 +195,11 @@ def test_assign_and_promote_looped_matches_matrix():
     hi, lo = morton.morton_encode_device(jnp.asarray(cells), depth)
     hi, lo = jax.lax.sort((hi, lo), num_keys=2)
     for root, stop in [(0, 0), (2, 2), (0, 3)]:
-        a_leaf, a_cur = tb._assign_and_promote(
+        a_leaf, a_cur = tb._assign_and_promote_matrix(
             hi, lo, depth, depth, 100, root_level=root, stop_level=stop
         )
-        b_leaf, b_cur = tb._assign_and_promote_looped(
-            hi, lo, depth, depth, 100, root, stop
+        b_leaf, b_cur = tb._assign_and_promote(
+            hi, lo, depth, depth, 100, root_level=root, stop_level=stop
         )
         np.testing.assert_array_equal(np.asarray(a_leaf), np.asarray(b_leaf))
         np.testing.assert_array_equal(np.asarray(a_cur), np.asarray(b_cur))
