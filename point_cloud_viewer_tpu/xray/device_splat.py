@@ -20,9 +20,11 @@ Host discretization (generation.discretize, f64) is kept — quantization
 must be bit-exact with the reference — the device runs the O(N) reduction,
 which is where the time goes.
 
-Binned (pixel, bin) accumulation keys are dynamic-width; the device path
-covers binning=None (the reference's default and its benchmarked
-configuration), host strategies cover the rest.
+Binned (pixel, bin) keys are dynamic-width, so no dense output exists;
+binned_run_reduce_device instead sorts (pixel, bin, values) on device and
+reduces each run with cumsum differences — exact by the same argument —
+returning per-run sums/counts; the (tiny) mean-over-bins epilogue stays on
+host in the host path's exact iteration order.
 """
 
 from __future__ import annotations
@@ -101,6 +103,60 @@ def color_sums_device(pix: np.ndarray, color: np.ndarray, image_size: int):
         jnp.asarray(pix.astype(np.int32)), jnp.asarray(color), image_size
     )
     return np.asarray(sums), np.asarray(counts)
+
+
+@jax.jit
+def _binned_run_reduce(pix, bins, *val_cols):
+    """Sort (pix, bin) pairs carrying C value columns; per-run counts and
+    per-run value sums via cumsum differences (exact — see module note),
+    emitted at run-start positions.  Runs appear in lexicographic
+    (pix, bin) order, matching np.unique(key, axis=0) on the host."""
+    n = pix.shape[0]
+    sorted_ = jax.lax.sort((pix, bins) + val_cols, num_keys=2)
+    pix_s, bins_s = sorted_[0], sorted_[1]
+    vals_s = jnp.stack(sorted_[2:], axis=1)  # (N, C)
+    starts = jnp.concatenate(
+        [
+            jnp.ones(1, bool),
+            (pix_s[1:] != pix_s[:-1]) | (bins_s[1:] != bins_s[:-1]),
+        ]
+    )
+    iota = jnp.arange(n, dtype=jnp.int64)
+    nb = jnp.where(starts, iota, n)
+    nxt = jax.lax.cummin(nb[::-1])[::-1]  # next run start at-or-after i
+    seg_end = jnp.concatenate([nxt[1:], jnp.full((1,), n, nxt.dtype)])
+    cs = jnp.cumsum(vals_s, axis=0)
+    excl = jnp.concatenate(
+        [jnp.zeros((1, vals_s.shape[1]), vals_s.dtype), cs[:-1]], axis=0
+    )
+    run_sums = cs[seg_end - 1] - excl  # valid where starts
+    counts = (seg_end - iota).astype(jnp.int64)
+    return pix_s, starts, counts, run_sums
+
+
+def binned_run_reduce_device(pix: np.ndarray, bins: np.ndarray,
+                             vals: np.ndarray):
+    """Device reduction for the dynamic-width binned keyspace:
+    -> (run pixels (K,), run counts (K,), run value sums (K, C)) grouped by
+    (pixel, bin) in lexicographic order — exactly np.unique(key, axis=0)'s
+    grouping, with sums bit-equal to the host's np.bincount sums whenever
+    those sums are exact (u8 colors always; f32-precision intensities under
+    the module's exponent-span condition)."""
+    c = vals.shape[1]
+    if len(pix) == 0:
+        return (
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty((0, c), np.float64),
+        )
+    with _enable_x64(True):
+        out = _binned_run_reduce(
+            jnp.asarray(pix.astype(np.int64)),
+            jnp.asarray(bins.astype(np.int64)),
+            *(jnp.asarray(vals[:, i].astype(np.float64)) for i in range(c)),
+        )
+        pix_s, starts, counts, sums = (np.asarray(a) for a in out)
+    m = starts.astype(bool)
+    return pix_s[m].astype(np.int64), counts[m], sums[m]
 
 
 def moment_sums_device(pix: np.ndarray, values: np.ndarray, image_size: int):

@@ -119,15 +119,17 @@ class _MeanOverBinsStrategy(ColoringStrategy):
     """Shared machinery: per-(pixel, bin) means of a value vector, then the
     mean over bins per pixel.
 
-    `device=True` runs the per-pixel reduction on the default JAX device
-    (supported for binning=None — the reference's default configuration;
-    the dynamic-width (pixel, bin) keyspace stays on host)."""
+    `device=True` runs the O(N) per-(pixel, bin) reduction on the default
+    JAX device: dense scatter-add kernels when binning is None, a sorted
+    run reduction (device_splat.binned_run_reduce_device) for the
+    dynamic-width binned keyspace; only the tiny per-pixel mean-over-bins
+    epilogue stays on host (bit-identical order to the host path)."""
 
     def __init__(self, binning=None, channels: int = 1,
                  device: bool = False) -> None:
         self.binning = binning
         self.channels = channels
-        self.device = device and binning is None
+        self.device = device
         self._pix = []
         self._bin = []
         self._val = []  # (M, channels)
@@ -166,11 +168,31 @@ class _MeanOverBinsStrategy(ColoringStrategy):
         return pix_ids, psums / pcounts[:, None]
 
     def _pixel_means_device(self, image_size: int):
-        """Device (jitted scatter-add) twin of _pixel_means for the
-        unbinned case: integer-exact color sums, f64 moment sums — both
-        bit-equal to the host reductions (device_splat exactness note)."""
+        """Device (jitted) twin of _pixel_means: integer-exact color sums,
+        f64 moment sums — bit-equal to the host reductions (device_splat
+        exactness note).  Binned keyspaces route through the sorted run
+        reduction; the per-pixel mean-over-bins epilogue below repeats the
+        host path's np.unique/bincount order exactly."""
         pix = np.concatenate(self._pix)
         vals = np.concatenate(self._val, axis=0).astype(np.float64)
+        if self.binning is not None:
+            from .device_splat import binned_run_reduce_device
+
+            bins = np.concatenate(self._bin)
+            run_pix, run_counts, run_sums = binned_run_reduce_device(
+                pix, bins, vals
+            )
+            bin_means = run_sums / run_counts[:, None]
+            pix_ids, pinv = np.unique(run_pix, return_inverse=True)
+            pcounts = np.bincount(pinv)
+            psums = np.stack(
+                [
+                    np.bincount(pinv, weights=bin_means[:, c])
+                    for c in range(bin_means.shape[1])
+                ],
+                axis=1,
+            )
+            return pix_ids, psums / pcounts[:, None]
         if self.channels == 3:
             from .device_splat import color_sums_device
 

@@ -178,12 +178,28 @@ def test_intensity_strategy_drops_negative_points():
         ("colored", {}),
         ("colored_with_intensity", {"min_intensity": 0.1, "max_intensity": 100.0}),
         ("colored_with_height_stddev", {"max_stddev": 2.0}),
+        ("colored", {"binning": ("ts", 10.0)}),
+        (
+            "colored_with_intensity",
+            {
+                "min_intensity": 0.1,
+                "max_intensity": 100.0,
+                "binning": ("ts", 10.0),
+            },
+        ),
     ],
 )
 def test_device_splat_matches_host_exactly(kind, kwargs):
     """The jitted device splat kernels must render BIT-IDENTICAL images to
-    the host unique/bincount reductions for every strategy family
-    (VERDICT r2 item 5; reference hot loop xray/src/generation.rs:99-136)."""
+    the host unique/bincount reductions for every strategy family — both
+    the dense unbinned kernels and the sorted run reduction behind binned
+    keyspaces (VERDICT r2 item 5; reference hot loop
+    xray/src/generation.rs:99-136).
+
+    Intensities are quantized to 1/64 steps in [1, 100] so all f64 sums
+    are exact regardless of association (the device_splat exactness
+    condition) — realistic sensor data, and bit-equality is then a
+    theorem, not luck."""
     from point_cloud_viewer_tpu.xray.generation import make_strategy
 
     rng = np.random.default_rng(99)
@@ -195,7 +211,10 @@ def test_device_splat_matches_host_exactly(kind, kwargs):
             position=rng.random((n // 2, 3)) * np.array([10.0, 10.0, 5.0]),
             attributes={
                 "color": rng.integers(0, 256, (n // 2, 3), dtype=np.uint8),
-                "intensity": (rng.random(n // 2) * 50.0).astype(np.float32),
+                "intensity": (
+                    rng.integers(64, 6400, n // 2) / 64.0
+                ).astype(np.float32),
+                "ts": (rng.random(n // 2) * 70.0 - 10.0),
             },
         )
         for _ in range(2)
