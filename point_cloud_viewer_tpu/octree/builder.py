@@ -159,7 +159,8 @@ def build_octree(
     # deep: the resolution demands levels past the 63-bit u64 code budget
     # (a planet-extent cloud at mm resolution); level-21 cells still holding
     # > MAX_POINTS_PER_NODE points are split further by re-rooted sub-builds
-    # on the host path (_split_fat_leaves), up to the format's level 40.
+    # (_split_fat_leaves), up to the format's level 40.  With use_device
+    # the top sort and each fat-cell subtree derivation run on device.
     deep = total_cap > depth_cap
 
     if mesh is not None and depth_cap >= 2 and not deep:
@@ -206,7 +207,21 @@ def build_octree(
                 batch.position, root_cube.min, root_cube.edge_length, depth_cap
             )
         with phase("sort"):
-            codes, order = morton.argsort_codes(codes)
+            if use_device:
+                # Deep builds reach here with use_device set: the top sort
+                # runs on device; each fat-cell subtree's derivation also
+                # runs on device inside _split_fat_leaves.
+                import jax.numpy as jnp
+
+                from ..ops.tree_build import sort_codes_device
+
+                hi, lo = morton.split_u64(codes)
+                order = np.asarray(
+                    sort_codes_device(jnp.asarray(hi), jnp.asarray(lo))
+                ).astype(np.int64)
+                codes = codes[order]
+            else:
+                codes, order = morton.argsort_codes(codes)
 
         deep_nodes: List[Tuple[NodeId, int]] = []
         if deep:
@@ -222,6 +237,7 @@ def build_octree(
                 codes, order, deep_nodes = _split_fat_leaves(
                     output_directory, codes, order, batch, root_cube,
                     resolution, depth_cap, total_cap,
+                    use_device=use_device,
                 )
             with phase("discover+subsample"):
                 final_nodes = _subsample_bottom_up(
@@ -373,6 +389,7 @@ def _split_fat_leaves(
     resolution: float,
     depth_cap: int,
     total_cap: int,
+    use_device: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, List[Tuple[NodeId, int]]]:
     """Deep-tree recursion: level-`depth_cap` cells holding more than
     MAX_POINTS_PER_NODE points are split past the u64 code budget by
@@ -400,7 +417,7 @@ def _split_fat_leaves(
         keep_order.append(order[prev_end:s])
         residual_order, nodes = _build_deep_subtree(
             directory, batch, order[s:e], int(uniq[i]), root_cube,
-            resolution, depth_cap, total_cap,
+            resolution, depth_cap, total_cap, use_device=use_device,
         )
         recorded.extend(nodes)
         keep_codes.append(np.full(len(residual_order), uniq[i], dtype=np.uint64))
@@ -420,6 +437,7 @@ def _build_deep_subtree(
     resolution: float,
     depth_cap: int,
     total_cap: int,
+    use_device: bool = False,
 ) -> Tuple[np.ndarray, List[Tuple[NodeId, int]]]:
     """Build the subtree under one fat level-`depth_cap` cell: a standard
     sort-based build re-rooted at the cell's cube (sub-depth
@@ -427,7 +445,13 @@ def _build_deep_subtree(
     format's level-40 capacity).  `run_order` indexes the original batch in
     globally-sorted order (all points share the cell's code, so ties keep
     original order).  Returns (residual order — the cell's post-subtree
-    content — and the recorded deep nodes)."""
+    content — and the recorded deep nodes).
+
+    `use_device`: the subtree's sort + leaf assignment + LOD promotion run
+    as one jitted device program (build_tree_device_codes with the fresh
+    63-bit re-rooted code space) — byte-identical to the native/host
+    derivation; a micro-extent cloud in a planet bbox concentrates ALL its
+    points in one fat cell, so this is where deep builds spend their time."""
     node_id = NodeId.from_level_index(depth_cap, cell_path)
     cube = node_id.find_bounding_cube(root_cube)
     d2 = total_cap - depth_cap
@@ -436,6 +460,26 @@ def _build_deep_subtree(
     sub_codes, _ = morton.quantize_and_encode(
         batch.position[run_order], cube.min, cube.edge_length, d2
     )
+    if use_device:
+        import jax.numpy as jnp
+
+        from ..ops.tree_build import build_tree_device_codes
+
+        hi, lo = morton.split_u64(sub_codes)
+        d_idx, d_final, d_leaf = build_tree_device_codes(
+            jnp.asarray(hi), jnp.asarray(lo), d2, d2
+        )
+        o = np.asarray(d_idx).astype(np.int64)
+        sub_codes = sub_codes[o]
+        sub_order = run_order[o]
+        final_nodes, residual_idx = _group_subtree_levels(
+            sub_codes, np.asarray(d_final), np.asarray(d_leaf), d2, 0
+        )
+        nodes = _write_levels(
+            directory, final_nodes, batch, sub_order, cube, resolution,
+            prefix=node_id,
+        )
+        return sub_order[residual_idx], nodes
     sub_codes, sub_sort = morton.argsort_codes(sub_codes)
     sub_order = run_order[sub_sort]
 

@@ -109,13 +109,14 @@ _SPILL_MARKER = "_spill_complete.json"
 
 
 def _checkpoint_params(resolution, bounding_box, b_levels, depth_cap,
-                       attributes) -> dict:
+                       attributes, total_cap) -> dict:
     return {
         "resolution": float(resolution),
         "bbox_min": [float(v) for v in bounding_box.mins],
         "bbox_max": [float(v) for v in bounding_box.maxs],
         "bucket_levels": int(b_levels),
         "depth_cap": int(depth_cap),
+        "total_cap": int(total_cap),
         "attributes": sorted(attributes) if attributes is not None else None,
     }
 
@@ -174,7 +175,15 @@ def build_octree_streaming(
             if bounding_box is None:
                 bounding_box = Aabb.zero()
     root_cube = Cube.bounding(bounding_box)
-    depth_cap = compute_depth_cap(root_cube.edge_length, resolution)
+    from .node_id import MAX_FORMAT_LEVEL
+
+    # total_cap past the u64 budget (21) = a deep build: fat level-21
+    # cells are split further inside each bucket subtree by re-rooted
+    # sub-builds, exactly as the in-core builder does (_split_fat_leaves).
+    total_cap = compute_depth_cap(
+        root_cube.edge_length, resolution, max_level=MAX_FORMAT_LEVEL
+    )
+    depth_cap = min(total_cap, morton.MAX_DEPTH)
     b_levels = min(bucket_levels, depth_cap - 1)
     num_buckets = 8**b_levels
 
@@ -183,7 +192,7 @@ def build_octree_streaming(
     spill = _BucketSpill(spill_dir, num_buckets)
 
     params = _checkpoint_params(
-        resolution, bounding_box, b_levels, depth_cap, attributes
+        resolution, bounding_box, b_levels, depth_cap, attributes, total_cap
     )
     marker_path = os.path.join(spill_dir, _SPILL_MARKER)
     resumed = False
@@ -322,6 +331,7 @@ def build_octree_streaming(
             resolution=resolution,
             depth_cap=depth_cap,
             use_device=use_device,
+            total_cap=total_cap,
         )
         recorded.extend(nodes)
         top_inputs.append((b_levels, residual))
@@ -415,19 +425,26 @@ def _build_bucket_subtree(
     resolution: float,
     depth_cap: int,
     use_device: bool = False,
+    total_cap: Optional[int] = None,
 ) -> Tuple[PointsBatch, List[Tuple[NodeId, int]]]:
     """Build the subtree under one level-B node: writes all nodes at levels
     > B, returns the bucket node's residual points (its post-promotion
     content, NOT yet written — the top pass promotes out of it).
     `use_device`: sort + leaf assignment + LOD promotion run as one jitted
     program on the default JAX device (minimal transfers: 8 B/pt up,
-    6 B/pt down), bit-identical to the host kernels."""
+    6 B/pt down), bit-identical to the host kernels.
+    `total_cap` > depth_cap marks a DEEP build: fat level-depth_cap cells
+    inside this bucket are split by re-rooted sub-builds
+    (builder._split_fat_leaves — device-capable) and the bucket derivation
+    then splits by the RAW counts while slicing the reduced arrays, exactly
+    like the in-core deep path."""
     n = len(batch)
     from .. import native
     from ..core.constants import MAX_POINTS_PER_NODE
     from .builder import _group_subtree_levels
 
-    if use_device:
+    deep = total_cap is not None and total_cap > depth_cap
+    if use_device and not deep:
         import jax.numpy as jnp
 
         from ..ops.tree_build import build_tree_device_codes
@@ -454,7 +471,43 @@ def _build_bucket_subtree(
     codes, _ = morton.quantize_and_encode(
         batch.position, root_cube.min, root_cube.edge_length, depth_cap
     )
-    codes, order = morton.argsort_codes(codes)
+    if use_device:
+        import jax.numpy as jnp
+
+        from ..ops.tree_build import sort_codes_device
+
+        hi, lo = morton.split_u64(codes)
+        order = np.asarray(
+            sort_codes_device(jnp.asarray(hi), jnp.asarray(lo))
+        ).astype(np.int64)
+        codes = codes[order]
+    else:
+        codes, order = morton.argsort_codes(codes)
+
+    if deep:
+        from .builder import _split_fat_leaves
+
+        raw_codes = codes
+        codes, order, deep_nodes = _split_fat_leaves(
+            output_directory, codes, order, batch, root_cube, resolution,
+            depth_cap, total_cap, use_device=use_device,
+        )
+        levels = _discover_subtree_levels(
+            codes, len(codes), depth_cap, root_cube.edge_length, resolution,
+            bucket_path, bucket_level, raw_codes=raw_codes,
+        )
+        final_nodes = _subsample_bottom_up(levels, stop_level=bucket_level)
+        residual_idx = (
+            final_nodes.pop(bucket_level).idx
+            if bucket_level in final_nodes
+            else np.empty(0, dtype=np.int64)
+        )
+        nodes = _write_levels(
+            output_directory, final_nodes, batch, order, root_cube,
+            resolution,
+        )
+        nodes.extend(deep_nodes)
+        return batch.take(order[residual_idx]), nodes
 
     out = native.tree_levels(
         codes, depth_cap, depth_cap, MAX_POINTS_PER_NODE,
@@ -487,11 +540,17 @@ def _build_bucket_subtree(
 
 
 def _discover_subtree_levels(
-    codes, n, depth_cap, root_edge, resolution, bucket_path, bucket_level
+    codes, n, depth_cap, root_edge, resolution, bucket_path, bucket_level,
+    raw_codes=None,
 ) -> Dict[int, _LevelNodes]:
     """Like builder._discover_levels but rooted at the level-B bucket node
     (which is treated as split unconditionally; its residual is handled by
-    the top pass)."""
+    the top pass).
+
+    `raw_codes` (deep builds): split decisions come from counts over the
+    PRE-reduction codes — an ancestor of a fat cell must split even when
+    its sub-build residual is small (builder._discover_levels_deep
+    semantics at bucket scope) — while point lists slice `codes`."""
     from ..core.constants import MAX_POINTS_PER_NODE
 
     leaf_acc: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
@@ -507,7 +566,14 @@ def _discover_subtree_levels(
         ends = np.concatenate(
             [starts.reshape(k, 8)[:, 1:], split_ends[:, None]], axis=1
         ).ravel()
-        counts = ends - starts
+        if raw_codes is None:
+            counts = ends - starts
+        else:
+            upper = bounds + (np.uint64(1) << shift)
+            counts = (
+                np.searchsorted(raw_codes, upper.ravel(), side="left")
+                - np.searchsorted(raw_codes, bounds.ravel(), side="left")
+            )
         nonempty = counts > 0
         edge = root_edge / (1 << level)
         can_split = level < depth_cap and edge > resolution

@@ -339,6 +339,18 @@ def build_tree_device_codes(
     return idx, cur.astype(jnp.uint8), leaf.astype(jnp.uint8)
 
 
+@jax.jit
+def sort_codes_device(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Stable device sort of split u64 Morton codes -> u32 permutation
+    (sorted -> original index).  Used by the deep (level > 21) build path,
+    whose derivation happens per re-rooted subtree rather than in one
+    program; the host recovers sorted codes as codes[order]."""
+    n = hi.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
+    _, _, idx = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+    return idx
+
+
 @functools.partial(
     jax.jit, static_argnames=("depth", "max_split_level", "max_points_per_node")
 )

@@ -108,6 +108,72 @@ def test_very_deep_chain_reaches_format_levels(tmp_path):
     assert int(np.sum(octree.num_points)) == n
 
 
+def test_deep_build_device_byte_identical(tmp_path):
+    """use_device must cover deep builds too: the top sort and every
+    fat-cell subtree derivation run on device (build_tree_device_codes in
+    the re-rooted code space), and the on-disk output stays byte-identical
+    to the host deep path."""
+    rng = np.random.default_rng(21)
+    n = 250_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 3.0,
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+    out_h = str(tmp_path / "deep_host")
+    res_h = build_octree(out_h, 0.01, batch, bounding_box=_planet_bbox())
+    out_d = str(tmp_path / "deep_dev")
+    res_d = build_octree(
+        out_d, 0.01, batch, bounding_box=_planet_bbox(), use_device=True
+    )
+    assert res_h.depth_cap > 21 and res_d.depth_cap > 21
+    assert max(nid.level for nid, _ in res_d.nodes) >= 22
+    files_h = sorted(os.listdir(out_h))
+    assert files_h == sorted(os.listdir(out_d))
+    for name in files_h:
+        with open(os.path.join(out_h, name), "rb") as f:
+            a = f.read()
+        with open(os.path.join(out_d, name), "rb") as f:
+            b = f.read()
+        assert a == b, name
+
+
+def test_deep_build_streaming_byte_identical(tmp_path):
+    """The out-of-core builder must support deep (level > 21) trees too:
+    fat level-21 cells split inside their bucket subtree via re-rooted
+    sub-builds, and the output is byte-identical to the in-core deep build
+    — host and device bucket paths both."""
+    from point_cloud_viewer_tpu.octree.streaming import build_octree_streaming
+
+    rng = np.random.default_rng(33)
+    n = 220_000
+    # Two dense micro-clusters in opposite corners of the planet cube:
+    # each sits inside its own level-2 bucket AND overfills a level-21
+    # cell, so two distinct buckets run the deep recursion.
+    pos = rng.random((n, 3)) * 3.0
+    pos[n // 2:] += PLANET * 0.9
+    batch = PointsBatch(
+        position=pos,
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+    out_mem = str(tmp_path / "mem")
+    res = build_octree(out_mem, 0.01, batch, bounding_box=_planet_bbox())
+    assert res.depth_cap > 21  # the fixture really is deep
+    assert max(nid.level for nid, _ in res.nodes) >= 22
+    for name, use_device in (("stream", False), ("stream_dev", True)):
+        out_s = str(tmp_path / name)
+        build_octree_streaming(
+            out_s, 0.01, batch, bounding_box=_planet_bbox(),
+            bucket_levels=2, spill_directory=str(tmp_path / (name + "_spill")),
+            use_device=use_device,
+        )
+        files_m = sorted(os.listdir(out_mem))
+        assert files_m == sorted(os.listdir(out_s))
+        for f in files_m:
+            a = open(os.path.join(out_mem, f), "rb").read()
+            b = open(os.path.join(out_s, f), "rb").read()
+            assert a == b, (name, f)
+
+
 def test_shallow_build_unchanged_by_deep_path(tmp_path):
     """A cloud that does NOT need deep levels must produce byte-identical
     output whether or not the planet bbox pushes total_cap past 21 — the
