@@ -120,6 +120,13 @@ def build_octree(
     `mesh`: a jax.sharding.Mesh — run the sort stage SHARDED across the mesh
     with an all-to-all Morton-prefix exchange (multi-chip build); on-disk
     output is bit-identical to the single-chip path.
+
+    Deep builds (resolution demands levels past 21 — a planet-extent cloud
+    at mm resolution): supported on the host and `use_device` paths (and by
+    build_octree_streaming).  `mesh` is ignored for deep builds — the deep
+    recursion's promotion order is defined by the single-chip reduction,
+    and distributing it would change on-disk bytes; such builds run the
+    single-chip path (with device subtree derivations when use_device).
     """
     import contextlib
 

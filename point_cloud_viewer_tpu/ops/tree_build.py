@@ -89,6 +89,45 @@ def _blocked_scan(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     return out[:n] if pad else out
 
 
+# Scan implementation switch: "auto" resolves at trace time to the Pallas
+# single-pass kernel (ops/scan_pallas) on TPU for large arrays, and to
+# _blocked_scan elsewhere (small arrays, CPU test meshes, shard_map on
+# virtual devices, any backend without Mosaic).  Results are bit-identical
+# either way (i32 max/min/sum are exact and associative).
+#
+# Measured per-scan (v5e, cummax, dispatch-floor subtracted via 2-vs-22
+# iteration loops): pallas is flat at ~55-58 ns/M elems (16M 0.93 ms,
+# 128M 7.02 ms); the blocked lowering matches it below ~20M (16M 0.70 ms)
+# but hits an XLA cliff above (32M 3.07, 64M 6.01, 128M 12.23 ms — ~96
+# ns/M).  Flat lax.cummax: 6.6/52.9 ms at 16/128M.  Hence the size gate.
+_SCAN_IMPL = "auto"
+_PALLAS_SCAN_MIN_N = 20_000_000
+
+
+def _scan(x: jnp.ndarray, kind: str, reverse: bool = False) -> jnp.ndarray:
+    impl = _SCAN_IMPL
+    if impl == "auto":
+        # Resolve from the default DEVICE, not the default backend: the
+        # test harness keeps the TPU backend registered but pins
+        # computation to a CPU mesh via jax_default_device.
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        on_tpu = getattr(dev, "platform", None) == "tpu"
+        impl = (
+            "pallas"
+            if on_tpu and x.shape[0] >= _PALLAS_SCAN_MIN_N
+            else "blocked"
+        )
+    if impl == "pallas" or impl == "pallas_interpret":
+        from .scan_pallas import scan_1d
+
+        return scan_1d(
+            x, kind, reverse=reverse, interpret=impl == "pallas_interpret"
+        )
+    if reverse:
+        return _blocked_scan(x[::-1], kind)[::-1]
+    return _blocked_scan(x, kind)
+
+
 def _counts_per_point(starts: jnp.ndarray) -> jnp.ndarray:
     """Given segment-start flags over a sorted array, the size of each
     point's segment, per point."""
@@ -104,11 +143,11 @@ def _counts_per_point(starts: jnp.ndarray) -> jnp.ndarray:
 
 def _segmented_rank(active: jnp.ndarray, seg_starts: jnp.ndarray) -> jnp.ndarray:
     """Rank of each active element among active elements of its segment."""
-    c = _blocked_scan(active.astype(jnp.int32), "sum")
+    c = _scan(active.astype(jnp.int32), "sum")
     n = active.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     # cumsum value just before the segment start
-    base = _blocked_scan(
+    base = _scan(
         jnp.where(seg_starts, c - active.astype(jnp.int32), 0), "max"
     )
     return c - active.astype(jnp.int32) - base
@@ -150,12 +189,12 @@ def _assign_and_promote_looped(hi, lo, depth, max_split_level,
       scheduler interleave all levels' scans and keep every 0.5 GB
       temporary alive at once (23.6 GB at 128M -> OOM); the loop
       serializes them to O(N) live bytes.
-    * _blocked_scan, not flat lax.cummax/cumsum — ~3x less data movement
-      per scan; with both, the 128M core went 34.9 -> 71.6 Mpts/s and the
-      16M assign+promote alone measures 108.6 ms vs the (N, L) matrix
-      formulation's 214.1 ms, so this path is the default at EVERY size
-      (the matrix twin below remains as an independent cross-check
-      implementation, bit-identical by test)."""
+    * _scan, not flat lax.cummax/cumsum — the blocked lowering moves ~3x
+      less data, and above 20M the Pallas single-pass kernel
+      (ops/scan_pallas) halves it again; with these the 128M core went
+      34.9 -> 99.4 Mpts/s (16M: 96.7, 64M: 105.2) and this path is the
+      default at EVERY size (the matrix twin below remains as an
+      independent cross-check implementation, bit-identical by test)."""
     n = hi.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     # Prefix-change xor, computed once; index 0 forced to a nonzero
@@ -177,9 +216,9 @@ def _assign_and_promote_looped(hi, lo, depth, max_split_level,
         leaf, found = carry
         level = root_level + 1 + i
         starts = starts_at(level)
-        seg_start = _blocked_scan(jnp.where(starts, iota, 0), "max")
+        seg_start = _scan(jnp.where(starts, iota, 0), "max")
         nb = jnp.where(starts, iota, n)
-        nxt = _blocked_scan(nb[::-1], "min")[::-1]
+        nxt = _scan(nb, "min", reverse=True)
         seg_end = jnp.concatenate([nxt[1:], jnp.full((1,), n, dtype=nxt.dtype)])
         small = (seg_end - seg_start) <= max_points_per_node
         leaf = jnp.where(~found & small, level, leaf)
