@@ -60,7 +60,8 @@ def main(argv=None) -> int:
         "--root_node_id", default="r",
         help="Build only the subtree under this node (for sharded builds).",
     )
-    parser.add_argument("--num_threads", type=int, default=8)
+    parser.add_argument("--num_threads", type=int, default=None,
+                        help="Tile pool size (default: min(8, cpu count), at least 2).")
     parser.add_argument(
         "--device", action="store_true",
         help="Run each tile's splat reduction as jitted TPU kernels "

@@ -128,19 +128,6 @@ def _scan(x: jnp.ndarray, kind: str, reverse: bool = False) -> jnp.ndarray:
     return _blocked_scan(x, kind)
 
 
-def _counts_per_point(starts: jnp.ndarray) -> jnp.ndarray:
-    """Given segment-start flags over a sorted array, the size of each
-    point's segment, per point."""
-    n = starts.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    seg_start = jax.lax.cummax(jnp.where(starts, iota, 0))
-    nb = jnp.where(starts, iota, n)
-    nxt = jax.lax.cummin(nb[::-1])[::-1]
-    # next boundary strictly after i:
-    seg_end = jnp.concatenate([nxt[1:], jnp.full((1,), n, dtype=nxt.dtype)])
-    return seg_end - seg_start, seg_start
-
-
 def _segmented_rank(active: jnp.ndarray, seg_starts: jnp.ndarray) -> jnp.ndarray:
     """Rank of each active element among active elements of its segment."""
     c = _scan(active.astype(jnp.int32), "sum")
@@ -201,16 +188,25 @@ def _assign_and_promote_looped(hi, lo, depth, max_split_level,
     # sentinel so every level's starts[0] is True.
     x_hi = hi ^ jnp.concatenate([hi[:1] ^ jnp.uint32(0xFFFFFFFF), hi[:-1]])
     x_lo = lo ^ jnp.concatenate([lo[:1] ^ jnp.uint32(0xFFFFFFFF), lo[:-1]])
+    # Boundary level b[i]: the shallowest level whose prefix changes at i
+    # (code i-1 vs i differ in bit hsb -> every level l with
+    # 3*(depth-l) <= hsb sees a boundary, i.e. l >= depth - hsb//3).
+    # One u8 array instead of re-deriving from the 8-byte xor at every
+    # level of both loops: starts_at(l) becomes a 1-byte compare.
+    hsb = jnp.where(
+        x_hi != 0,
+        jnp.int32(63) - jax.lax.clz(x_hi).astype(jnp.int32),
+        jnp.int32(31) - jax.lax.clz(x_lo).astype(jnp.int32),
+    )  # both zero -> hsb = -1 -> b = depth + 1: never a boundary
+    bound_level = jnp.where(
+        (x_hi | x_lo) == 0,
+        jnp.int32(depth + 1),
+        jnp.maximum(jnp.int32(depth) - hsb // 3, 0),
+    ).astype(jnp.uint8)
 
     def starts_at(level):
-        """Segment starts for a TRACED level (dynamic shift)."""
-        shift = 3 * (depth - level)
-        ge = shift >= 32
-        sh_hi = jnp.where(ge, shift - 32, 0).astype(jnp.uint32)
-        sh_lo = jnp.where(ge, 0, shift).astype(jnp.uint32)
-        return jnp.where(
-            ge, (x_hi >> sh_hi) != 0, (x_hi != 0) | ((x_lo >> sh_lo) != 0)
-        )
+        """Segment starts for a TRACED level."""
+        return bound_level <= level.astype(jnp.uint8)
 
     def leaf_body(i, carry):
         leaf, found = carry

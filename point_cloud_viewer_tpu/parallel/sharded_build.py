@@ -34,7 +34,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import morton
 from .mesh import SHARD_AXIS
 
-_INVALID = jnp.uint32(0xFFFFFFFF)
+# A HOST constant on purpose: a module-level jnp scalar is a jax.Array
+# committed to the import-time default device (the TPU when this package
+# is imported before tests pin CPU), and XLA lowering then fetches its
+# value THROUGH that device - a relay hiccup turns every CPU-mesh test
+# into a hang.  np.uint32 lowers as a pure host constant.
+_INVALID = np.uint32(0xFFFFFFFF)
 
 
 class ShardedSortResult(NamedTuple):

@@ -116,10 +116,16 @@ def build_xray_quadtree(
     strategy_kind: str,
     parameters: XrayParameters,
     strategy_kwargs: Optional[dict] = None,
-    num_threads: int = 8,
+    num_threads: Optional[int] = None,
 ) -> XrayMetaProto:
     os.makedirs(parameters.output_directory, exist_ok=True)
     strategy_kwargs = strategy_kwargs or {}
+    if num_threads is None:
+        # The reference defaults to a fixed pool of 8
+        # (xray/src/build.rs); on a 1-core host that just multiplies
+        # GIL churn between numpy segment reductions, so size the pool
+        # to the machine (tile I/O still overlaps compute at 2+).
+        num_threads = max(2, min(8, os.cpu_count() or 1))
 
     bounding_box = get_bounding_box(
         parameters.point_cloud_client.bounding_box(), parameters.query_from_global
