@@ -166,6 +166,86 @@ def _starts_all_levels(hi: jnp.ndarray, lo: jnp.ndarray, depth: int,
     return starts.at[0, :].set(True)
 
 
+def _bound_levels(hi, lo, depth):
+    """Per-point u8 boundary level: the shallowest level whose prefix
+    changes between codes i-1 and i (index 0 forced to 0 = a boundary at
+    every level; codes equal to their predecessor get depth+1 = never)."""
+    x_hi = hi ^ jnp.concatenate([hi[:1] ^ jnp.uint32(0xFFFFFFFF), hi[:-1]])
+    x_lo = lo ^ jnp.concatenate([lo[:1] ^ jnp.uint32(0xFFFFFFFF), lo[:-1]])
+    hsb = jnp.where(
+        x_hi != 0,
+        jnp.int32(63) - jax.lax.clz(x_hi).astype(jnp.int32),
+        jnp.int32(31) - jax.lax.clz(x_lo).astype(jnp.int32),
+    )
+    return jnp.where(
+        (x_hi | x_lo) == 0,
+        jnp.int32(depth + 1),
+        jnp.maximum(jnp.int32(depth) - hsb // 3, 0),
+    ).astype(jnp.uint8)
+
+
+# Above this size on TPU the fused per-level Pallas kernels
+# (ops/level_pallas) replace the scan-composed loop bodies: each level
+# becomes 2-3 sweeps over u8 state instead of several materialized i32
+# arrays.  Bit-identical (tests + on-TPU core comparison).
+_FUSED_MIN_N = 4_000_000
+
+
+def _assign_and_promote_fused(hi, lo, depth, max_split_level,
+                              max_points_per_node, root_level, stop_level,
+                              interpret: bool = False):
+    """Fused-kernel twin of _assign_and_promote_looped (TPU path).
+
+    State lives in u8 (leaf/found/cur) padded once to a kernel block
+    multiple; padding carries boundary level 255 (never a segment start)
+    and trails all real data, so it never perturbs real segment bounds or
+    promotion ranks."""
+    from . import level_pallas as LP
+
+    n = hi.shape[0]
+    b = _bound_levels(hi, lo, depth)
+    pad = (-n) % LP._BLOCK
+    b_pad = jnp.pad(b, (0, pad), constant_values=255)
+
+    leaf0 = jnp.pad(
+        jnp.zeros_like(b, dtype=jnp.uint8) + jnp.uint8(max_split_level),
+        (0, pad), constant_values=max_split_level,
+    )
+    found0 = jnp.zeros(n + pad, dtype=jnp.uint8)
+
+    def leaf_body(i, carry):
+        leaf, found = carry
+        level = (root_level + 1 + i).astype(jnp.int32)
+        seg_start = LP.seg_start_pass(b_pad, level, interpret=interpret)
+        return LP.leaf_update_pass(
+            b_pad, seg_start, leaf, found, level,
+            jnp.int32(max_points_per_node), jnp.int32(n),
+            interpret=interpret,
+        )
+
+    leaf_pad, _ = jax.lax.fori_loop(
+        0, max_split_level - root_level, leaf_body, (leaf0, found0)
+    )
+
+    def promo_body(i, cur):
+        level = (max_split_level - i).astype(jnp.int32)
+        active_any = jnp.any(cur[:n].astype(jnp.int32) == level)
+        return jax.lax.cond(
+            active_any,
+            lambda c: LP.promote_pass(b_pad, c, level, interpret=interpret),
+            lambda c: c,
+            cur,
+        )
+
+    cur_pad = jax.lax.fori_loop(
+        0, max_split_level - stop_level, promo_body, leaf_pad
+    )
+    return (
+        leaf_pad[:n].astype(jnp.int32),
+        cur_pad[:n].astype(jnp.int32),
+    )
+
+
 def _assign_and_promote_looped(hi, lo, depth, max_split_level,
                                max_points_per_node, root_level, stop_level):
     """The production formulation of leaf assignment + LOD promotion: a
@@ -184,25 +264,9 @@ def _assign_and_promote_looped(hi, lo, depth, max_split_level,
       independent cross-check implementation, bit-identical by test)."""
     n = hi.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    # Prefix-change xor, computed once; index 0 forced to a nonzero
-    # sentinel so every level's starts[0] is True.
-    x_hi = hi ^ jnp.concatenate([hi[:1] ^ jnp.uint32(0xFFFFFFFF), hi[:-1]])
-    x_lo = lo ^ jnp.concatenate([lo[:1] ^ jnp.uint32(0xFFFFFFFF), lo[:-1]])
-    # Boundary level b[i]: the shallowest level whose prefix changes at i
-    # (code i-1 vs i differ in bit hsb -> every level l with
-    # 3*(depth-l) <= hsb sees a boundary, i.e. l >= depth - hsb//3).
-    # One u8 array instead of re-deriving from the 8-byte xor at every
-    # level of both loops: starts_at(l) becomes a 1-byte compare.
-    hsb = jnp.where(
-        x_hi != 0,
-        jnp.int32(63) - jax.lax.clz(x_hi).astype(jnp.int32),
-        jnp.int32(31) - jax.lax.clz(x_lo).astype(jnp.int32),
-    )  # both zero -> hsb = -1 -> b = depth + 1: never a boundary
-    bound_level = jnp.where(
-        (x_hi | x_lo) == 0,
-        jnp.int32(depth + 1),
-        jnp.maximum(jnp.int32(depth) - hsb // 3, 0),
-    ).astype(jnp.uint8)
+    # One u8 boundary-level array instead of re-deriving segment starts
+    # from the 8-byte code xor at every level of both loops.
+    bound_level = _bound_levels(hi, lo, depth)
 
     def starts_at(level):
         """Segment starts for a TRACED level."""
@@ -273,8 +337,15 @@ def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node,
     subtrees need no cross-shard data)."""
     assert root_level <= stop_level <= max_split_level
     assert root_level < max_split_level
+    n = hi.shape[0]
     levels_n = max_split_level - root_level
-    if hi.shape[0] * levels_n >= _LOOPED_MIN_ELEMS:
+    dev = jax.config.jax_default_device or jax.devices()[0]
+    if getattr(dev, "platform", None) == "tpu" and n >= _FUSED_MIN_N:
+        return _assign_and_promote_fused(
+            hi, lo, depth, max_split_level, max_points_per_node,
+            root_level, stop_level,
+        )
+    if n * levels_n >= _LOOPED_MIN_ELEMS:
         return _assign_and_promote_looped(
             hi, lo, depth, max_split_level, max_points_per_node,
             root_level, stop_level,
