@@ -21,7 +21,7 @@ from . import morton
 def _encode_and_sort(cells: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     hi, lo = morton.morton_encode_device(cells)
     idx = jax.lax.broadcasted_iota(jnp.uint32, (cells.shape[0], 1), 0).squeeze(-1)
-    return jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+    return jax.lax.sort((hi, lo, idx), num_keys=3, is_stable=False)
 
 
 def morton_sort_device(cells: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -437,7 +437,11 @@ def build_tree_device_codes(
     out-of-core bucket builds and the sharded per-shard derivation)."""
     n = hi.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
-    hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+    # num_keys=3 with is_stable=False everywhere in this package: idx is
+    # unique per (real) element, so keying on it reproduces the stable
+    # (hi, lo) order exactly, and XLA's unstable 3-key sort measured 20%
+    # faster than the stable 2-key sort on the v5e (358 -> 288 ms @ 64M).
+    hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=3, is_stable=False)
     leaf, cur = _assign_and_promote(hi, lo, depth, max_split_level,
                                     max_points_per_node,
                                     root_level=root_level,
@@ -453,7 +457,7 @@ def sort_codes_device(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     program; the host recovers sorted codes as codes[order]."""
     n = hi.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
-    _, _, idx = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+    _, _, idx = jax.lax.sort((hi, lo, idx), num_keys=3, is_stable=False)
     return idx
 
 
@@ -473,7 +477,7 @@ def build_tree_device(
     idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
     # Sort only the keys + permutation and GATHER the payload afterwards:
     # ~3x faster than carrying all columns through the sort network.
-    hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+    hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=3, is_stable=False)
     sorted_cells = cells[idx]
     cx, cy, cz = sorted_cells[:, 0], sorted_cells[:, 1], sorted_cells[:, 2]
 

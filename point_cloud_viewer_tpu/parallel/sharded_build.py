@@ -180,7 +180,7 @@ def make_sharded_cell_sort_step(
             jax.lax.broadcasted_iota(jnp.uint32, (p, 1), 0).squeeze(-1)
             + base_index[0]
         )
-        hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+        hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=3, is_stable=False)
 
         if n_shards == 1:
             bucket = jnp.zeros(p, dtype=jnp.int32)
@@ -213,7 +213,7 @@ def make_sharded_cell_sort_step(
         )
         flat = n_shards * capacity
         r_hi, r_lo, r_idx = jax.lax.sort(
-            tuple(r.reshape(flat) for r in recv), num_keys=2, is_stable=True
+            tuple(r.reshape(flat) for r in recv), num_keys=3, is_stable=False
         )
         return ShardedCellSortResult(
             code_hi=r_hi,
@@ -342,7 +342,7 @@ def make_sharded_tree_step(
             jax.lax.broadcasted_iota(jnp.uint32, (p, 1), 0).squeeze(-1)
             + base_index[0]
         )
-        hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=2, is_stable=True)
+        hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=3, is_stable=False)
 
         # Owner shard of a point: lookup of its level-B prefix in the
         # host-balanced table.  Host pads carry code 2^(3*depth) whose
@@ -373,7 +373,7 @@ def make_sharded_tree_step(
         ]
         flat = n_shards * capacity
         r_hi, r_lo, r_idx = jax.lax.sort(
-            tuple(r.reshape(flat) for r in recv), num_keys=2, is_stable=True
+            tuple(r.reshape(flat) for r in recv), num_keys=3, is_stable=False
         )
         # Capacity-fill slots carry code (0xFFFF.., 0xFFFF..) and host pads
         # 2^(3*depth): both sort past every real code (real codes have
