@@ -106,7 +106,8 @@ def time_device_core(batch, resolution: float, repeats: int = 3) -> float:
 
 
 def bench_device_scaling(
-    sizes=(16_000_000, 64_000_000, 128_000_000), depth: int = 21, repeats: int = 2
+    sizes=(16_000_000, 64_000_000, 128_000_000, 256_000_000),
+    depth: int = 21, repeats: int = 2
 ) -> dict:
     """Device-core scaling with DEVICE-RESIDENT data — the production
     layout on local-HBM hardware (BASELINE config 2): uniform random Morton
