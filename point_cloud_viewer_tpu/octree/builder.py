@@ -218,15 +218,9 @@ def build_octree(
                 # Deep builds reach here with use_device set: the top sort
                 # runs on device; each fat-cell subtree's derivation also
                 # runs on device inside _split_fat_leaves.
-                import jax.numpy as jnp
+                from ..ops.tree_build import argsort_codes_on_device
 
-                from ..ops.tree_build import sort_codes_device
-
-                hi, lo = morton.split_u64(codes)
-                order = np.asarray(
-                    sort_codes_device(jnp.asarray(hi), jnp.asarray(lo))
-                ).astype(np.int64)
-                codes = codes[order]
+                codes, order = argsort_codes_on_device(codes)
             else:
                 codes, order = morton.argsort_codes(codes)
 
@@ -387,6 +381,12 @@ def _build_octree_mesh(
     )
 
 
+# Device deep sub-builds only for cells at least this large: each
+# distinct cell size is one XLA compile (~seconds via a remote compile
+# path), which must amortize against the derivation it accelerates.
+_DEEP_DEVICE_MIN_N = 1_000_000
+
+
 def _split_fat_leaves(
     directory: str,
     codes: np.ndarray,
@@ -458,7 +458,11 @@ def _build_deep_subtree(
     as one jitted device program (build_tree_device_codes with the fresh
     63-bit re-rooted code space) — byte-identical to the native/host
     derivation; a micro-extent cloud in a planet bbox concentrates ALL its
-    points in one fat cell, so this is where deep builds spend their time."""
+    points in one fat cell, so this is where deep builds spend their time.
+    Each distinct cell size triggers an XLA compile, so only cells above
+    _DEEP_DEVICE_MIN_N go to the device — a cloud scattered over many
+    barely-fat cells stays on the native path instead of paying a compile
+    per cell."""
     node_id = NodeId.from_level_index(depth_cap, cell_path)
     cube = node_id.find_bounding_cube(root_cube)
     d2 = total_cap - depth_cap
@@ -467,7 +471,7 @@ def _build_deep_subtree(
     sub_codes, _ = morton.quantize_and_encode(
         batch.position[run_order], cube.min, cube.edge_length, d2
     )
-    if use_device:
+    if use_device and len(run_order) >= _DEEP_DEVICE_MIN_N:
         import jax.numpy as jnp
 
         from ..ops.tree_build import build_tree_device_codes

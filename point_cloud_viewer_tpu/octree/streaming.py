@@ -202,7 +202,17 @@ def build_octree_streaming(
                 marker = json.load(f)
         except (json.JSONDecodeError, OSError):
             marker = {}  # truncated by a crash mid-write: clean slate below
-        if marker.get("params") == params:
+        marker_params = marker.get("params")
+        if (
+            isinstance(marker_params, dict)
+            and "total_cap" not in marker_params
+            and params["total_cap"] == params["depth_cap"]
+        ):
+            # Checkpoint written before total_cap existed: such builds
+            # were always non-deep (total_cap == depth_cap), so a legacy
+            # marker whose other params match is the SAME build.
+            marker_params = {**marker_params, "total_cap": params["depth_cap"]}
+        if marker_params == params:
             # Resume: the spill pass already completed for this exact build.
             total = int(marker["total"])
             spill.counts = np.asarray(marker["counts"], dtype=np.int64)
@@ -472,15 +482,9 @@ def _build_bucket_subtree(
         batch.position, root_cube.min, root_cube.edge_length, depth_cap
     )
     if use_device:
-        import jax.numpy as jnp
+        from ..ops.tree_build import argsort_codes_on_device
 
-        from ..ops.tree_build import sort_codes_device
-
-        hi, lo = morton.split_u64(codes)
-        order = np.asarray(
-            sort_codes_device(jnp.asarray(hi), jnp.asarray(lo))
-        ).astype(np.int64)
-        codes = codes[order]
+        codes, order = argsort_codes_on_device(codes)
     else:
         codes, order = morton.argsort_codes(codes)
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .scan_pallas import LANES, _scan_block_fwd, _scan_block_rev
+from .scan_pallas import LANES, _scan_block_fwd, _scan_block_rev, out_struct
 
 ROWS = 1024  # (1024, 128) u8/i32 blocks; smaller than scan_1d's because
 # these kernels hold several live block-sized temporaries at once.
@@ -144,7 +144,7 @@ def seg_start_pass(b_pad, level, interpret: bool = False):
     ix = lambda i, *_: (i, 0)  # noqa: E731
     return pl.pallas_call(
         _seg_start_kernel,
-        out_shape=jax.ShapeDtypeStruct((m, LANES), jnp.int32),
+        out_shape=out_struct((m, LANES), jnp.int32, b_pad),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -166,8 +166,8 @@ def leaf_update_pass(b_pad, seg_start, leaf, found, level, threshold, n,
     leaf2, found2 = pl.pallas_call(
         _leaf_update_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((m, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((m, LANES), jnp.uint8),
+            out_struct((m, LANES), jnp.uint8, leaf),
+            out_struct((m, LANES), jnp.uint8, found),
         ),
         grid=(grid,),
         in_specs=[
@@ -202,7 +202,7 @@ def promote_pass(b_pad, cur, level, interpret: bool = False):
     ix = lambda i, *_: (i, 0)  # noqa: E731
     out = pl.pallas_call(
         _promote_kernel,
-        out_shape=jax.ShapeDtypeStruct((m, LANES), jnp.uint8),
+        out_shape=out_struct((m, LANES), jnp.uint8, cur),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -42,6 +42,16 @@ LANES = 128
 ROWS = 2048  # rows per block: (2048, 128) i32 = 1 MB in VMEM
 _BLOCK = ROWS * LANES
 
+
+def out_struct(shape, dtype, like):
+    """ShapeDtypeStruct carrying the input's varying-manual-axes set so
+    pallas_call works inside shard_map (check_vma requires outputs to
+    declare how they vary across mesh axes)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
 _IDENT = {
     "max": -(2**31),
     "min": 2**31 - 1,
@@ -137,7 +147,7 @@ def _scan_padded(xp, kind: str, reverse: bool, interpret: bool, rows: int):
         index_map = lambda i: (i, 0)  # noqa: E731
     return pl.pallas_call(
         _make_kernel(kind, reverse, rows),
-        out_shape=jax.ShapeDtypeStruct((m, LANES), jnp.int32),
+        out_shape=out_struct((m, LANES), jnp.int32, xp),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((rows, LANES), index_map, memory_space=pltpu.VMEM)

@@ -93,7 +93,10 @@ def _blocked_scan(x: jnp.ndarray, kind: str) -> jnp.ndarray:
 # single-pass kernel (ops/scan_pallas) on TPU for large arrays, and to
 # _blocked_scan elsewhere (small arrays, CPU test meshes, shard_map on
 # virtual devices, any backend without Mosaic).  Results are bit-identical
-# either way (i32 max/min/sum are exact and associative).
+# either way (i32 max/min/sum are exact and associative).  NOTE: with the
+# fused level kernels taking n >= 4M on TPU, the >= 20M Pallas branch is
+# reached only from the looped cross-check path and benchmarks — it stays
+# because it is the measured fallback if the fused path is ever disabled.
 #
 # Measured per-scan (v5e, cummax, dispatch-floor subtracted via 2-vs-22
 # iteration loops): pallas is flat at ~55-58 ns/M elems (16M 0.93 ms,
@@ -109,12 +112,18 @@ def _scan(x: jnp.ndarray, kind: str, reverse: bool = False) -> jnp.ndarray:
     if impl == "auto":
         # Resolve from the default DEVICE, not the default backend: the
         # test harness keeps the TPU backend registered but pins
-        # computation to a CPU mesh via jax_default_device.
+        # computation to a CPU mesh via jax_default_device.  Inside
+        # shard_map (varying manual axes on the operand) stay on the
+        # pure-lax formulation — proven under SPMD partitioning, while
+        # Pallas-in-shard_map cannot be validated on this single-chip
+        # machine.
         dev = jax.config.jax_default_device or jax.devices()[0]
         on_tpu = getattr(dev, "platform", None) == "tpu"
+        in_shard_map = bool(getattr(jax.typeof(x), "vma", frozenset()))
         impl = (
             "pallas"
-            if on_tpu and x.shape[0] >= _PALLAS_SCAN_MIN_N
+            if on_tpu and not in_shard_map
+            and x.shape[0] >= _PALLAS_SCAN_MIN_N
             else "blocked"
         )
     if impl == "pallas" or impl == "pallas_interpret":
@@ -207,11 +216,17 @@ def _assign_and_promote_fused(hi, lo, depth, max_split_level,
     pad = (-n) % LP._BLOCK
     b_pad = jnp.pad(b, (0, pad), constant_values=255)
 
+    # Both loop carries derive from `b` (hence from `hi`) so they inherit
+    # its sharding-varying type under shard_map — a plain jnp.zeros is
+    # replicated-typed and the fori_loop would reject the varying carry
+    # (same constraint as the looped twin's initial carries).
     leaf0 = jnp.pad(
         jnp.zeros_like(b, dtype=jnp.uint8) + jnp.uint8(max_split_level),
         (0, pad), constant_values=max_split_level,
     )
-    found0 = jnp.zeros(n + pad, dtype=jnp.uint8)
+    found0 = jnp.pad(
+        jnp.zeros_like(b, dtype=jnp.uint8), (0, pad), constant_values=0
+    )
 
     def leaf_body(i, carry):
         leaf, found = carry
@@ -258,10 +273,13 @@ def _assign_and_promote_looped(hi, lo, depth, max_split_level,
       serializes them to O(N) live bytes.
     * _scan, not flat lax.cummax/cumsum — the blocked lowering moves ~3x
       less data, and above 20M the Pallas single-pass kernel
-      (ops/scan_pallas) halves it again; with these the 128M core went
-      34.9 -> 99.4 Mpts/s (16M: 96.7, 64M: 105.2) and this path is the
-      default at EVERY size (the matrix twin below remains as an
-      independent cross-check implementation, bit-identical by test)."""
+      (ops/scan_pallas) halves it again.
+
+    DISPATCH NOTE: on TPU at n >= _FUSED_MIN_N the dispatcher prefers
+    _assign_and_promote_fused (ops/level_pallas — 1.8-2.7x faster still),
+    so this formulation serves n < 4M on TPU, non-TPU backends, and the
+    cross-check tests; the matrix twin below is the second independent
+    implementation guarding the tree rules (bit-identical by test)."""
     n = hi.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     # One u8 boundary-level array instead of re-deriving segment starts
@@ -340,7 +358,16 @@ def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node,
     n = hi.shape[0]
     levels_n = max_split_level - root_level
     dev = jax.config.jax_default_device or jax.devices()[0]
-    if getattr(dev, "platform", None) == "tpu" and n >= _FUSED_MIN_N:
+    # The fused Pallas path is single-chip only for now: inside shard_map
+    # (varying manual axes) we stay on the pure-lax formulations, which
+    # are proven under SPMD partitioning — Pallas-in-shard_map cannot be
+    # validated on this single-chip machine.
+    in_shard_map = bool(getattr(jax.typeof(hi), "vma", frozenset()))
+    if (
+        getattr(dev, "platform", None) == "tpu"
+        and not in_shard_map
+        and n >= _FUSED_MIN_N
+    ):
         return _assign_and_promote_fused(
             hi, lo, depth, max_split_level, max_points_per_node,
             root_level, stop_level,
@@ -459,6 +486,19 @@ def sort_codes_device(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
     _, _, idx = jax.lax.sort((hi, lo, idx), num_keys=3, is_stable=False)
     return idx
+
+
+def argsort_codes_on_device(codes):
+    """Host-facing wrapper: u64 numpy codes -> (sorted codes, int64 order)
+    with the sort itself on the default JAX device.  Shared by the deep
+    build's top pass and the streaming builder's deep bucket path."""
+    import numpy as np
+
+    hi, lo = morton.split_u64(codes)
+    order = np.asarray(
+        sort_codes_device(jnp.asarray(hi), jnp.asarray(lo))
+    ).astype(np.int64)
+    return codes[order], order
 
 
 @functools.partial(

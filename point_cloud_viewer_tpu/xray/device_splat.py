@@ -22,7 +22,8 @@ which is where the time goes.
 
 Binned (pixel, bin) keys are dynamic-width, so no dense output exists;
 binned_run_reduce_device instead sorts (pixel, bin, values) on device and
-reduces each run with cumsum differences — exact by the same argument —
+scatter-adds each run's values keyed on the run index — per-run partial
+sums, the same exactness class as the host's per-group bincount —
 returning per-run sums/counts; the (tiny) mean-over-bins epilogue stays on
 host in the host path's exact iteration order.
 """
@@ -108,9 +109,13 @@ def color_sums_device(pix: np.ndarray, color: np.ndarray, image_size: int):
 @jax.jit
 def _binned_run_reduce(pix, bins, *val_cols):
     """Sort (pix, bin) pairs carrying C value columns; per-run counts and
-    per-run value sums via cumsum differences (exact — see module note),
-    emitted at run-start positions.  Runs appear in lexicographic
-    (pix, bin) order, matching np.unique(key, axis=0) on the host."""
+    value sums via SCATTER-ADD keyed on the run index.  Each run
+    accumulates only its own values, so partial sums are bounded by the
+    run's magnitude — the same exactness class as the host's per-group
+    np.bincount (a global cumsum-difference formulation was rejected: its
+    partial sums span the WHOLE tile, a materially weaker condition that
+    breaks bit-equality on wide-range f32 intensities).  Runs appear in
+    lexicographic (pix, bin) order, matching np.unique(key, axis=0)."""
     n = pix.shape[0]
     sorted_ = jax.lax.sort((pix, bins) + val_cols, num_keys=2)
     pix_s, bins_s = sorted_[0], sorted_[1]
@@ -121,17 +126,12 @@ def _binned_run_reduce(pix, bins, *val_cols):
             (pix_s[1:] != pix_s[:-1]) | (bins_s[1:] != bins_s[:-1]),
         ]
     )
-    iota = jnp.arange(n, dtype=jnp.int64)
-    nb = jnp.where(starts, iota, n)
-    nxt = jax.lax.cummin(nb[::-1])[::-1]  # next run start at-or-after i
-    seg_end = jnp.concatenate([nxt[1:], jnp.full((1,), n, nxt.dtype)])
-    cs = jnp.cumsum(vals_s, axis=0)
-    excl = jnp.concatenate(
-        [jnp.zeros((1, vals_s.shape[1]), vals_s.dtype), cs[:-1]], axis=0
+    seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1  # run index, 0..K-1
+    run_sums = jnp.zeros((n, vals_s.shape[1]), vals_s.dtype).at[seg_id].add(
+        vals_s
     )
-    run_sums = cs[seg_end - 1] - excl  # valid where starts
-    counts = (seg_end - iota).astype(jnp.int64)
-    return pix_s, starts, counts, run_sums
+    run_counts = jnp.zeros(n, jnp.int64).at[seg_id].add(1)
+    return pix_s, starts, run_counts, run_sums
 
 
 def binned_run_reduce_device(pix: np.ndarray, bins: np.ndarray,
@@ -140,8 +140,8 @@ def binned_run_reduce_device(pix: np.ndarray, bins: np.ndarray,
     -> (run pixels (K,), run counts (K,), run value sums (K, C)) grouped by
     (pixel, bin) in lexicographic order — exactly np.unique(key, axis=0)'s
     grouping, with sums bit-equal to the host's np.bincount sums whenever
-    those sums are exact (u8 colors always; f32-precision intensities under
-    the module's exponent-span condition)."""
+    those per-group sums are exact (u8 colors always; f32-precision
+    intensities under the module's per-group exponent-span condition)."""
     c = vals.shape[1]
     if len(pix) == 0:
         return (
@@ -156,7 +156,10 @@ def binned_run_reduce_device(pix: np.ndarray, bins: np.ndarray,
         )
         pix_s, starts, counts, sums = (np.asarray(a) for a in out)
     m = starts.astype(bool)
-    return pix_s[m].astype(np.int64), counts[m], sums[m]
+    k = int(m.sum())
+    # Runs occupy the [0, K) prefix of the scatter targets, in the same
+    # lexicographic order as the start positions.
+    return pix_s[m].astype(np.int64), counts[:k], sums[:k]
 
 
 def moment_sums_device(pix: np.ndarray, values: np.ndarray, image_size: int):

@@ -183,9 +183,12 @@ def test_sharded_build_step_multichip():
 
 
 def test_assign_and_promote_looped_matches_matrix():
-    """The memory-light level-looped formulation (used for 100M+ device
-    builds) must be bit-identical to the level-batched one, including the
-    subtree (root/stop) semantics of the sharded and bucket builders."""
+    """The memory-light level-looped formulation (the 100M+ device-build
+    path) must be bit-identical to the level-batched matrix formulation —
+    the two structurally independent implementations guarding the tree
+    rules — EXPLICITLY, not through the dispatcher (which would resolve
+    both calls to the same impl at test sizes), including the subtree
+    (root/stop) semantics of the sharded and bucket builders."""
     from point_cloud_viewer_tpu.ops import tree_build as tb
 
     rng = np.random.default_rng(17)
@@ -198,8 +201,13 @@ def test_assign_and_promote_looped_matches_matrix():
         a_leaf, a_cur = tb._assign_and_promote_matrix(
             hi, lo, depth, depth, 100, root_level=root, stop_level=stop
         )
-        b_leaf, b_cur = tb._assign_and_promote(
+        b_leaf, b_cur = tb._assign_and_promote_looped(
+            hi, lo, depth, depth, 100, root, stop
+        )
+        c_leaf, c_cur = tb._assign_and_promote(
             hi, lo, depth, depth, 100, root_level=root, stop_level=stop
         )
         np.testing.assert_array_equal(np.asarray(a_leaf), np.asarray(b_leaf))
         np.testing.assert_array_equal(np.asarray(a_cur), np.asarray(b_cur))
+        np.testing.assert_array_equal(np.asarray(a_leaf), np.asarray(c_leaf))
+        np.testing.assert_array_equal(np.asarray(a_cur), np.asarray(c_cur))

@@ -288,3 +288,52 @@ def test_streaming_use_device_byte_identical(tmp_path):
             os.path.join(dev_dir, f), "rb"
         ) as b:
             assert a.read() == b.read(), f
+
+
+def test_streaming_resume_accepts_legacy_marker(tmp_path):
+    """Spill checkpoints written before `total_cap` existed (always
+    non-deep builds) must still resume instead of raising a
+    params-mismatch error."""
+    import json
+
+    from point_cloud_viewer_tpu.octree import streaming as S
+
+    rng = np.random.default_rng(3)
+    n = 150_000  # one bucket holds everything and exceeds the node cap
+    batch = PointsBatch(position=rng.random((n, 3)) * 3.9)
+    bbox = _bbox(PointsBatch(position=np.array([[0.0, 0.0, 0.0], [8.0, 8.0, 8.0]])))
+    spill = str(tmp_path / "spill")
+    out1 = str(tmp_path / "a")
+
+    # Interrupt after the spill pass so the marker survives.
+    real = S._build_bucket_subtree
+
+    def boom(*a, **k):
+        raise RuntimeError("interrupt")
+
+    S._build_bucket_subtree = boom
+    try:
+        with pytest.raises(RuntimeError):
+            build_octree_streaming(
+                out1, 0.01, batch, bounding_box=bbox, bucket_levels=1,
+                spill_directory=spill,
+            )
+    finally:
+        S._build_bucket_subtree = real
+
+    # Age the marker to the pre-total_cap schema.
+    marker_path = os.path.join(spill, S._SPILL_MARKER)
+    with open(marker_path) as f:
+        marker = json.load(f)
+    assert marker["params"].pop("total_cap") == marker["params"]["depth_cap"]
+    with open(marker_path, "w") as f:
+        json.dump(marker, f)
+
+    out2 = str(tmp_path / "b")
+    build_octree_streaming(
+        out2, 0.01, batch, bounding_box=bbox, bucket_levels=1,
+        spill_directory=spill,
+    )
+    ref = str(tmp_path / "ref")
+    build_octree_streaming(ref, 0.01, batch, bounding_box=bbox, bucket_levels=1)
+    _assert_same_output(ref, out2)

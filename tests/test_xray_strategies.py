@@ -107,6 +107,39 @@ def test_height_stddev_formula():
     np.testing.assert_array_equal(img[0, 0], expected)
 
 
+def test_binned_device_wide_range_intensities():
+    """Wide-exponent-range f32 intensities (0.001 .. 5e4 in one tile):
+    the binned device reduction must still match the host bit-for-bit.
+    Guards against global-accumulator formulations whose partial sums
+    span the whole tile — only per-group partial sums have the same
+    rounding envelope as the host's np.bincount."""
+    from point_cloud_viewer_tpu.xray.generation import make_strategy
+
+    rng = np.random.default_rng(123)
+    n = 60_000
+    size = 32
+    bbox = Aabb(np.zeros(3), np.array([10.0, 10.0, 5.0]))
+    # Exponents spanning ~26 binary orders, shuffled so tiny values
+    # follow huge running sums in array order.
+    intensity = np.exp(rng.uniform(np.log(1e-3), np.log(5e4), n)).astype(
+        np.float32
+    )
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * np.array([10.0, 10.0, 5.0]),
+        attributes={
+            "intensity": intensity,
+            "ts": rng.random(n) * 50.0,
+        },
+    )
+    kwargs = {"min_intensity": 1e-3, "max_intensity": 5e4,
+              "binning": ("ts", 10.0)}
+    host = make_strategy("colored_with_intensity", **kwargs)
+    dev = make_strategy("colored_with_intensity", device=True, **kwargs)
+    host.process(batch, bbox, size)
+    dev.process(batch, bbox, size)
+    np.testing.assert_array_equal(host.render(size), dev.render(size))
+
+
 def test_jet_colormap_matches_scalar_formula():
     """Vectorized jet == the reference's scalar base/interpolate recurrence
     (colormap.rs:18-59)."""
