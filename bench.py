@@ -278,23 +278,8 @@ def time_cull(num_nodes: int, frames: int = 200):
     frustum = Frustum.new(eye, Perspective.from_fov(1.5, 1.2, 0.5, 1000.0))
     axes, qmin, qmax = frustum_axes_and_projections(frustum)
 
-    args = [
-        jnp.asarray(frustum.clip_from_query, dtype=jnp.float32),
-        jnp.asarray(axes), jnp.asarray(qmin), jnp.asarray(qmax),
-        jnp.asarray(mins), jnp.asarray(edges), jnp.asarray(num_points),
-    ]
-    def run():
-        order, sizes, visible = frustum_cull_lod_select(*args)
-        return int(order[0])  # forces execution + fetch
-
-    run()  # compile
-    run()
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        run()
-    device_ms = (time.perf_counter() - t0) / frames * 1e3
-
-    # Host-native single-frame path (the interactive 60 fps loop).
+    # Host-native single-frame path FIRST (the interactive 60 fps loop)
+    # so a wedged relay cannot take the host number down with it.
     from point_cloud_viewer_tpu.ops.culling import frustum_cull_lod_select_host
 
     matrix_np = frustum.clip_from_query.astype(np.float32)
@@ -310,6 +295,29 @@ def time_cull(num_nodes: int, frames: int = 200):
     for _ in range(frames):
         run_host()
     host_ms = (time.perf_counter() - t0) / frames * 1e3
+
+    try:
+        args = [
+            jnp.asarray(frustum.clip_from_query, dtype=jnp.float32),
+            jnp.asarray(axes), jnp.asarray(qmin), jnp.asarray(qmax),
+            jnp.asarray(mins), jnp.asarray(edges), jnp.asarray(num_points),
+        ]
+        def run():
+            order, sizes, visible = frustum_cull_lod_select(*args)
+            return int(order[0])  # forces execution + fetch
+
+        run()  # compile
+        run()
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            run()
+        device_ms = (time.perf_counter() - t0) / frames * 1e3
+    except Exception as e:  # noqa: BLE001 - relay down: host numbers stand
+        import sys
+
+        print(f"[bench] device cull failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return host_ms, None, None
 
     # Batched frames: one dispatch for F frames (amortizes the per-call
     # round trip, which dominates on relayed backends).
@@ -511,11 +519,29 @@ def main() -> None:
 
     batch = synth_points(args.n)
 
+    # The axon relay can wedge mid-run (FAILED_PRECONDITION / hangs that
+    # recover minutes later).  Device sections degrade to None so the
+    # host numbers and the JSON line always land.
+    def device_safe(label, fn, default=None):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            import sys
+
+            print(f"[bench] {label} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            return default
+
     # Device-resident core (data already in HBM — the local-deployment
     # number) and the two honest end-to-end pipelines.
-    device_core_s = time_device_core(batch, args.resolution)
-    e2e_device_s = time_build(
-        batch, use_device=True, resolution=args.resolution, warm=True
+    device_core_s = device_safe(
+        "device core", lambda: time_device_core(batch, args.resolution)
+    )
+    e2e_device_s = device_safe(
+        "device e2e",
+        lambda: time_build(
+            batch, use_device=True, resolution=args.resolution, warm=True
+        ),
     )
     host_s = time_build(batch, use_device=False, resolution=args.resolution)
     if args.skip_baseline:
@@ -529,7 +555,7 @@ def main() -> None:
         )
 
     # Headline: the best full pipeline available on this machine.
-    best_s = min(e2e_device_s, host_s)
+    best_s = min([t for t in (e2e_device_s, host_s) if t is not None])
     mpts = args.n / best_s / 1e6
     ratio = 1.0 if baseline_s is None else baseline_s / best_s
 
@@ -538,8 +564,8 @@ def main() -> None:
 
     extra = bench_queries() if args.queries else {}
     if not args.skip_scaling:
-        extra.update(bench_device_scaling())
-        extra.update(bench_xray_splat())
+        extra.update(device_safe("device scaling", bench_device_scaling, {}))
+        extra.update(device_safe("xray splat", bench_xray_splat, {}))
 
     print(
         json.dumps(
@@ -549,21 +575,38 @@ def main() -> None:
                 "value": round(mpts, 3),
                 "unit": "Mpoints/s",
                 "vs_baseline": round(ratio, 3),
-                "headline_path": "host" if host_s <= e2e_device_s else "device",
+                "headline_path": (
+                    "host"
+                    if e2e_device_s is None or host_s <= e2e_device_s
+                    else "device"
+                ),
                 "cull_lod_ms_per_frame_4096_nodes": round(cull_ms, 4),
                 "cull_lod_ms_per_frame_1m_nodes": round(cull_1m_ms, 4),
                 "cull_lod_ms_per_frame_1m_nodes_all_visible": round(
                     cull_1m_all_ms, 4
                 ),
-                "cull_lod_device_ms_per_frame": round(cull_device_ms, 4),
-                "cull_lod_ms_per_frame_batched": round(cull_batched_ms, 4),
-                "e2e_device_s": round(e2e_device_s, 3),
+                "cull_lod_device_ms_per_frame": (
+                    None if cull_device_ms is None
+                    else round(cull_device_ms, 4)
+                ),
+                "cull_lod_ms_per_frame_batched": (
+                    None if cull_batched_ms is None
+                    else round(cull_batched_ms, 4)
+                ),
+                "e2e_device_s": (
+                    None if e2e_device_s is None else round(e2e_device_s, 3)
+                ),
                 "host_build_s": round(host_s, 3),
                 "numpy_baseline_s": (
                     None if baseline_s is None else round(baseline_s, 3)
                 ),
-                "device_core_s": round(device_core_s, 4),
-                "device_core_mpoints_per_sec": round(args.n / device_core_s / 1e6, 3),
+                "device_core_s": (
+                    None if device_core_s is None else round(device_core_s, 4)
+                ),
+                "device_core_mpoints_per_sec": (
+                    None if device_core_s is None
+                    else round(args.n / device_core_s / 1e6, 3)
+                ),
                 "n_points": args.n,
             }
         )
