@@ -180,22 +180,32 @@ def bench_device_scaling(
             out[f"device_core_s_{tag}"] = round(core_s, 4)
             out[f"device_core_mpoints_per_sec_{tag}"] = round(n / core_s / 1e6, 2)
 
-            @jax.jit
-            def sort_only(h, l):
-                idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
-                sh, sl, si = jax.lax.sort((h, l, idx), num_keys=2, is_stable=True)
-                return (sh[0] + sl[-1] + si[0]).astype(jnp.uint32)
+            if n == 64_000_000:
+                # Sort-only at ONE size: each size is another remote XLA
+                # compile (~minutes through the relay) and the share is
+                # flat across sizes (ROUND_NOTES tables).
+                @jax.jit
+                def sort_only(h, l):
+                    idx = jax.lax.broadcasted_iota(
+                        jnp.uint32, (n, 1), 0
+                    ).squeeze(-1)
+                    sh, sl, si = jax.lax.sort(
+                        (h, l, idx), num_keys=3, is_stable=False
+                    )
+                    return (sh[0] + sl[-1] + si[0]).astype(jnp.uint32)
 
-            sort_s = timed_scalar(lambda h, l: int(sort_only(h, l)), hi, lo)
-            out[f"device_sort_s_{tag}"] = round(sort_s, 4)
-            if "hbm_probe_gbps" in out:
-                # How many x slower than an ideal 8-bit-digit LSD radix
-                # sort of the (hi, lo, idx) tuples at the MEASURED achieved
-                # bandwidth: 8 passes x (read + write) x 12 B.
-                ideal_s = 8 * 2 * 12 * n / (out["hbm_probe_gbps"] * 1e9)
-                out[f"sort_vs_radix8_roofline_x_{tag}"] = round(
-                    sort_s / ideal_s, 1
+                sort_s = timed_scalar(
+                    lambda h, l: int(sort_only(h, l)), hi, lo
                 )
+                out[f"device_sort_s_{tag}"] = round(sort_s, 4)
+                if "hbm_probe_gbps" in out:
+                    # How many x slower than an ideal 8-bit-digit LSD
+                    # radix sort of the (hi, lo, idx) tuples at the
+                    # MEASURED bandwidth: 8 passes x (read + write) x 12 B.
+                    ideal_s = 8 * 2 * 12 * n / (out["hbm_probe_gbps"] * 1e9)
+                    out[f"sort_vs_radix8_roofline_x_{tag}"] = round(
+                        sort_s / ideal_s, 1
+                    )
         except Exception as e:  # OOM at the largest size: report what fits
             out[f"device_core_s_{tag}"] = f"failed: {type(e).__name__}"
             break
