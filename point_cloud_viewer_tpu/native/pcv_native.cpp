@@ -665,10 +665,17 @@ void cull_lod_select_f64(const double* matrix, const double* axes,
 // emit, push its children) with early exit at the node budget.  Cost is
 // O(emitted * 8 * log heap) and INDEPENDENT of the table size, so the
 // all-visible worst case at 1M nodes meets the frame budget (the flat
-// kernel scans every node).  Correct because a child's clamped projected
-// extent never exceeds its parent's (point-wise containment under any
-// projective map), so pop order is globally largest-first and everything
-// still unpushed is covered by an ancestor already in the heap.
+// kernel scans every node).  Pop order is globally largest-first because a
+// child's clamped projected extent never exceeds its parent's for cubes
+// fully in front of the camera (point-wise containment under the
+// projective map), so everything still unpushed is covered by an ancestor
+// already in the heap.  KNOWN DIVERGENCE: a cube straddling the w=0 plane
+// can give a child a LARGER clamped extent than its parent (the hemicube
+// clamp is not monotone across w=0), so for such views the emitted set /
+// order can differ from the flat top-max_out kernel.  This matches the
+// reference, whose BinaryHeap has the same non-monotone sizes
+// (src/octree/mod.rs:119-139 clip_point_to_hemicube + :228-283); it has
+// no budget, so there the divergence only reorders output.
 template <typename F>
 static int64_t cull_lod_heap_impl(const F* matrix, const F* axes,
                                   const F* qmin, const F* qmax, int64_t a,

@@ -376,8 +376,10 @@ def build_octree_streaming(
     # spill files) is only cleared now, so a crash anywhere above — the
     # top pass and meta write included — resumes instead of restarting.
     shutil.rmtree(spill_dir, ignore_errors=True)
+    # Report total_cap (up to 40 for deep builds), matching build_octree's
+    # BuildResult for the byte-identical in-core build of the same cloud.
     return BuildResult(
-        output_directory, root_cube, resolution, bounding_box, recorded, depth_cap
+        output_directory, root_cube, resolution, bounding_box, recorded, total_cap
     )
 
 

@@ -91,6 +91,14 @@ def xray_occupancy_device(keys: np.ndarray, image_size: int) -> np.ndarray:
     (i32), bit-exact vs the host np.unique path."""
     if len(keys) == 0:
         return np.zeros(image_size * image_size, dtype=np.int32)
+    # Packed keys are pix * 2048 + z; the u32 cast below silently wraps for
+    # image_size > 1448 (2^32 / 2048 = 2,097,152 pixels), which would break
+    # the documented bit-equality with the host int64 np.unique path.
+    if image_size * image_size * _Z_KEYS > 2**32:
+        raise ValueError(
+            f"xray_occupancy_device: image_size {image_size} overflows the "
+            f"packed u32 (pixel, z) keyspace (max 1448); use the host path"
+        )
     out = _xray_occupancy(jnp.asarray(keys.astype(np.uint32)), image_size)
     return np.asarray(out)
 

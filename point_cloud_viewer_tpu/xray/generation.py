@@ -78,7 +78,9 @@ class XRayStrategy(ColoringStrategy):
     def _occupancy(self, image_size):
         """-> (occupied pixel ids, distinct-z counts)."""
         keys_all = np.concatenate(self._keys)
-        if self.device:
+        # The device kernel packs (pixel, z) into u32: pow-2 tiles <= 1024 px
+        # (the reference's range) fit; anything larger stays on host.
+        if self.device and image_size * image_size * 2048 <= 2**32:
             from .device_splat import xray_occupancy_device
 
             counts = xray_occupancy_device(keys_all, image_size)
