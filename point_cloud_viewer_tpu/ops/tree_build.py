@@ -361,7 +361,11 @@ def _assign_and_promote(hi, lo, depth, max_split_level, max_points_per_node,
     # The fused Pallas path is single-chip only for now: inside shard_map
     # (varying manual axes) we stay on the pure-lax formulations, which
     # are proven under SPMD partitioning — Pallas-in-shard_map cannot be
-    # validated on this single-chip machine.
+    # validated on this single-chip machine.  The correctness net for
+    # flipping this gate on real multi-chip hardware exists:
+    # tests/test_level_pallas.py::test_fused_inside_shard_map_matches_lax
+    # runs the fused kernels inside shard_map (interpret mode, 8-CPU mesh)
+    # and asserts bit-identity with the lax path.
     in_shard_map = bool(getattr(jax.typeof(hi), "vma", frozenset()))
     if (
         getattr(dev, "platform", None) == "tpu"

@@ -39,6 +39,67 @@ def test_fused_matches_looped(root, stop):
     np.testing.assert_array_equal(np.asarray(a_cur), np.asarray(f_cur))
 
 
+def test_fused_inside_shard_map_matches_lax():
+    """The correctness net for enabling the fused path on real multi-chip
+    hardware (ops/tree_build.py gates it OFF inside shard_map today): run
+    the fused kernels INSIDE shard_map on the 8-virtual-CPU mesh, per shard
+    on its owned prefix-aligned subtree — exactly the distributed builder's
+    call (parallel/sharded_build.py::make_sharded_tree_step) — and assert
+    bit-identity with the pure-lax formulation the gate currently selects."""
+    from jax.sharding import PartitionSpec as P
+    from tests.conftest import cpu_mesh
+
+    n_shards, per_shard, depth = 8, 4096, 7
+    b_levels = 1  # each shard owns exactly one level-1 cell
+    rng = np.random.default_rng(11)
+    his, los = [], []
+    for s in range(n_shards):
+        # Codes whose top octant == shard id; a hot cell forces deep splits.
+        cells = rng.integers(0, 2 ** (depth - 1), (per_shard, 3), dtype=np.uint32)
+        cells[: per_shard // 8] = cells[0]
+        cells += np.array(
+            [(s >> 2) & 1, (s >> 1) & 1, s & 1], dtype=np.uint32
+        ) << (depth - 1)
+        hi, lo = morton.morton_encode_device(jnp.asarray(cells), depth)
+        hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+        his.append(np.asarray(hi))
+        los.append(np.asarray(lo))
+    hi_g = jnp.asarray(np.concatenate(his))
+    lo_g = jnp.asarray(np.concatenate(los))
+
+    mesh = cpu_mesh(n_shards)
+
+    def make(fn, **kw):
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh, in_specs=(P("shard"), P("shard")),
+                out_specs=(P("shard"), P("shard")), **kw,
+            )
+        )
+
+    # check_vma=False only for the INTERPRET run: the HLO interpreter
+    # inlines the discharged kernel jaxpr into the shard_map trace, where
+    # kernel-internal scalar/block mixes trip the vma checker.  The
+    # compiled path keeps kernel internals opaque (pallas_call's
+    # out_shapes carry the operand vma — ops/level_pallas.out_struct), so
+    # production enabling does not need this.
+    fused = make(
+        lambda h, l: tb._assign_and_promote_fused(
+            h, l, depth, depth, 100, b_levels, b_levels, interpret=True
+        ),
+        check_vma=False,
+    )
+    lax_twin = make(
+        lambda h, l: tb._assign_and_promote_looped(
+            h, l, depth, depth, 100, b_levels, b_levels
+        )
+    )
+    f_leaf, f_cur = fused(hi_g, lo_g)
+    a_leaf, a_cur = lax_twin(hi_g, lo_g)
+    np.testing.assert_array_equal(np.asarray(a_leaf), np.asarray(f_leaf))
+    np.testing.assert_array_equal(np.asarray(a_cur), np.asarray(f_cur))
+
+
 def test_fused_ragged_and_single_segment():
     """Sizes straddling block boundaries, plus the all-one-cell cloud
     (a single segment spanning every block at every level)."""
