@@ -123,10 +123,17 @@ def build_octree(
 
     Deep builds (resolution demands levels past 21 — a planet-extent cloud
     at mm resolution): supported on the host and `use_device` paths (and by
-    build_octree_streaming).  `mesh` is ignored for deep builds — the deep
-    recursion's promotion order is defined by the single-chip reduction,
-    and distributing it would change on-disk bytes; such builds run the
-    single-chip path (with device subtree derivations when use_device).
+    build_octree_streaming).  With a `mesh`, the fat-cell sub-builds are
+    DISTRIBUTED over the mesh devices at whole-cell granularity: each
+    sub-build is self-contained (consumes one cell's run, returns its
+    residual), so round-robin placement + async dispatch overlaps the
+    derivations across chips while preserving byte-identity exactly — the
+    same computations run, only their placement changes (the reference's
+    rayon scope distributes the identical recursion over threads,
+    src/octree/generation.rs:152-193).  The top derivation (levels <= 21)
+    stays single-chip: its SPMD formulation would need raw-count split
+    forcing inside the per-shard kernel, and at most ~N/8 residual points
+    reach it.
     """
     import contextlib
 
@@ -238,7 +245,7 @@ def build_octree(
                 codes, order, deep_nodes = _split_fat_leaves(
                     output_directory, codes, order, batch, root_cube,
                     resolution, depth_cap, total_cap,
-                    use_device=use_device,
+                    use_device=use_device, mesh=mesh,
                 )
             with phase("discover+subsample"):
                 final_nodes = _subsample_bottom_up(
@@ -397,6 +404,7 @@ def _split_fat_leaves(
     depth_cap: int,
     total_cap: int,
     use_device: bool = False,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, List[Tuple[NodeId, int]]]:
     """Deep-tree recursion: level-`depth_cap` cells holding more than
     MAX_POINTS_PER_NODE points are split past the u64 code budget by
@@ -408,23 +416,41 @@ def _split_fat_leaves(
     (codes, order) where each fat run is replaced by its sub-build residual
     (always <= MAX_POINTS_PER_NODE points: a node receives at most
     8*ceil(100k/8) promoted points), so the standard top derivation sees
-    the cell as an ordinary leaf."""
+    the cell as an ordinary leaf.
+
+    `mesh`: distribute the (device-eligible) sub-build derivations over the
+    mesh devices round-robin, dispatched asynchronously up front so they
+    overlap each other and the host's per-cell group/encode/write loop.
+    Byte-identity with the single-chip path is by construction: each
+    sub-build is self-contained, so only PLACEMENT changes."""
     uniq, counts = _sorted_unique_counts(codes)
     fat = counts > MAX_POINTS_PER_NODE
     if not fat.any():
         return codes, order, []
     run_offsets = np.concatenate([[0], np.cumsum(counts)])
+    fat_idx = np.flatnonzero(fat)
+    pending = {}
+    if mesh is not None:
+        devs = list(mesh.devices.flat)
+        for slot, i in enumerate(fat_idx):
+            s, e = int(run_offsets[i]), int(run_offsets[i + 1])
+            if e - s >= _DEEP_DEVICE_MIN_N:
+                pending[int(i)] = _dispatch_deep_device(
+                    batch, order[s:e], int(uniq[i]), root_cube, depth_cap,
+                    total_cap, device=devs[slot % len(devs)],
+                )
     recorded: List[Tuple[NodeId, int]] = []
     keep_codes: List[np.ndarray] = []
     keep_order: List[np.ndarray] = []
     prev_end = 0
-    for i in np.flatnonzero(fat):
+    for i in fat_idx:
         s, e = int(run_offsets[i]), int(run_offsets[i + 1])
         keep_codes.append(codes[prev_end:s])
         keep_order.append(order[prev_end:s])
         residual_order, nodes = _build_deep_subtree(
             directory, batch, order[s:e], int(uniq[i]), root_cube,
             resolution, depth_cap, total_cap, use_device=use_device,
+            precomputed=pending.get(int(i)),
         )
         recorded.extend(nodes)
         keep_codes.append(np.full(len(residual_order), uniq[i], dtype=np.uint64))
@@ -433,6 +459,39 @@ def _split_fat_leaves(
     keep_codes.append(codes[prev_end:])
     keep_order.append(order[prev_end:])
     return np.concatenate(keep_codes), np.concatenate(keep_order), recorded
+
+
+def _dispatch_deep_device(
+    batch: PointsBatch,
+    run_order: np.ndarray,
+    cell_path: int,
+    root_cube: Cube,
+    depth_cap: int,
+    total_cap: int,
+    device=None,
+):
+    """Dispatch one fat cell's subtree derivation to `device` (or the
+    default JAX device) WITHOUT forcing the result: JAX dispatch is async,
+    so derivations launched for different mesh devices run concurrently.
+    Returns (sub_codes, d_idx, d_final, d_leaf) for _build_deep_subtree."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.tree_build import build_tree_device_codes
+
+    node_id = NodeId.from_level_index(depth_cap, cell_path)
+    cube = node_id.find_bounding_cube(root_cube)
+    d2 = total_cap - depth_cap
+    sub_codes, _ = morton.quantize_and_encode(
+        batch.position[run_order], cube.min, cube.edge_length, d2
+    )
+    hi, lo = morton.split_u64(sub_codes)
+    if device is not None:
+        hi, lo = jax.device_put(hi, device), jax.device_put(lo, device)
+    d_idx, d_final, d_leaf = build_tree_device_codes(
+        jnp.asarray(hi), jnp.asarray(lo), d2, d2
+    )
+    return sub_codes, d_idx, d_final, d_leaf
 
 
 def _build_deep_subtree(
@@ -445,6 +504,7 @@ def _build_deep_subtree(
     depth_cap: int,
     total_cap: int,
     use_device: bool = False,
+    precomputed=None,
 ) -> Tuple[np.ndarray, List[Tuple[NodeId, int]]]:
     """Build the subtree under one fat level-`depth_cap` cell: a standard
     sort-based build re-rooted at the cell's cube (sub-depth
@@ -468,18 +528,12 @@ def _build_deep_subtree(
     d2 = total_cap - depth_cap
     assert 1 <= d2 <= morton.MAX_DEPTH
 
-    sub_codes, _ = morton.quantize_and_encode(
-        batch.position[run_order], cube.min, cube.edge_length, d2
-    )
-    if use_device and len(run_order) >= _DEEP_DEVICE_MIN_N:
-        import jax.numpy as jnp
-
-        from ..ops.tree_build import build_tree_device_codes
-
-        hi, lo = morton.split_u64(sub_codes)
-        d_idx, d_final, d_leaf = build_tree_device_codes(
-            jnp.asarray(hi), jnp.asarray(lo), d2, d2
+    if precomputed is None and use_device and len(run_order) >= _DEEP_DEVICE_MIN_N:
+        precomputed = _dispatch_deep_device(
+            batch, run_order, cell_path, root_cube, depth_cap, total_cap
         )
+    if precomputed is not None:
+        sub_codes, d_idx, d_final, d_leaf = precomputed
         o = np.asarray(d_idx).astype(np.int64)
         sub_codes = sub_codes[o]
         sub_order = run_order[o]
@@ -491,6 +545,9 @@ def _build_deep_subtree(
             prefix=node_id,
         )
         return sub_order[residual_idx], nodes
+    sub_codes, _ = morton.quantize_and_encode(
+        batch.position[run_order], cube.min, cube.edge_length, d2
+    )
     sub_codes, sub_sort = morton.argsort_codes(sub_codes)
     sub_order = run_order[sub_sort]
 

@@ -174,6 +174,60 @@ def test_deep_build_streaming_byte_identical(tmp_path):
             assert a == b, (name, f)
 
 
+def test_deep_build_mesh_distributed_byte_identical(tmp_path, monkeypatch):
+    """mesh + deep (VERDICT r3 item 5): fat-cell sub-builds distribute over
+    the mesh devices at whole-cell granularity — each sub-build is
+    self-contained, so placement must not change a single byte vs the
+    single-chip host build.  Three fat level-21 cells on 2- and 8-device
+    meshes; a recording wrapper proves the derivations really were placed
+    round-robin on distinct devices."""
+    import point_cloud_viewer_tpu.octree.builder as builder_mod
+    from tests.conftest import cpu_mesh
+
+    monkeypatch.setattr(builder_mod, "_DEEP_DEVICE_MIN_N", 1_000)
+
+    edge21 = PLANET / (1 << 21)
+    rng = np.random.default_rng(17)
+    per = MAX_POINTS_PER_NODE + 10_000
+    clusters = []
+    for k in range(3):  # three distinct fat level-21 cells
+        base = (100 * k) * edge21
+        clusters.append(base + rng.random((per, 3)) * (edge21 * 0.49))
+    batch = PointsBatch(
+        position=np.concatenate(clusters),
+        attributes={"color": rng.integers(0, 256, (3 * per, 3), dtype=np.uint8)},
+    )
+
+    out_h = str(tmp_path / "host")
+    res_h = build_octree(out_h, 0.01, batch, bounding_box=_planet_bbox())
+    assert res_h.depth_cap > 21
+    assert max(nid.level for nid, _ in res_h.nodes) >= 22
+
+    real_dispatch = builder_mod._dispatch_deep_device
+    for n_dev in (2, 8):
+        used = []
+
+        def recording(*args, device=None, **kw):
+            used.append(device)
+            return real_dispatch(*args, device=device, **kw)
+
+        monkeypatch.setattr(builder_mod, "_dispatch_deep_device", recording)
+        out_m = str(tmp_path / f"mesh{n_dev}")
+        build_octree(
+            out_m, 0.01, batch, bounding_box=_planet_bbox(),
+            mesh=cpu_mesh(n_dev),
+        )
+        monkeypatch.setattr(builder_mod, "_dispatch_deep_device", real_dispatch)
+        assert len(used) == 3, "expected one dispatch per fat cell"
+        assert len({d.id for d in used}) == min(3, n_dev), used
+        files_h = sorted(os.listdir(out_h))
+        assert files_h == sorted(os.listdir(out_m))
+        for f in files_h:
+            a = open(os.path.join(out_h, f), "rb").read()
+            b = open(os.path.join(out_m, f), "rb").read()
+            assert a == b, (n_dev, f)
+
+
 def test_shallow_build_unchanged_by_deep_path(tmp_path):
     """A cloud that does NOT need deep levels must produce byte-identical
     output whether or not the planet bbox pushes total_cap past 21 — the
