@@ -17,6 +17,11 @@ def main(argv=None) -> int:
         help="Restrict to an axis-aligned box.",
     )
     parser.add_argument(
+        "--cell_union", default=None, metavar="TOKEN,TOKEN,...",
+        help="Restrict to an S2 cell union (hex cell tokens). Runs on "
+             "device with --device_filter (trig-free point->cell-id).",
+    )
+    parser.add_argument(
         "--filter_interval", action="append", default=[], metavar="ATTR=LO,HI"
     )
     parser.add_argument("--num_points", type=int, default=None,
@@ -37,9 +42,18 @@ def main(argv=None) -> int:
     from ..query.location import AllPoints
 
     location = AllPoints()
+    if args.aabb and args.cell_union:
+        parser.error("--aabb and --cell_union are mutually exclusive")
     if args.aabb:
         v = [float(x) for x in args.aabb.split(",")]
         location = Aabb(v[:3], v[3:])
+    elif args.cell_union:
+        from ..math.s2 import token_to_id
+        from ..s2_cells.cell_union import CellUnion
+
+        location = CellUnion(
+            [token_to_id(t) for t in args.cell_union.split(",") if t]
+        )
     intervals = {}
     for kv in args.filter_interval:
         k, s = kv.split("=", 1)

@@ -2,14 +2,15 @@
 cull + interval filter as device kernels (reference per-point loop:
 src/iterator.rs:93-119).
 
-One jitted f64 kernel per convex geometry (the x64-scoped pattern of
-xray/device_splat.py): box, OBB, frustum, plus the attribute interval
-filter — each mirrors its host twin's exact operation sequence
-(math/geometry.py contains()).  WebMercatorRect and S2 cell unions stay on
-host: their membership tests run through transcendental geodetic math
-(ecef_to_geodetic, Hilbert cell decomposition) whose libm rounding is not
-guaranteed to match between host and device — the host is the semantic
-reference, so those filters are not offloaded.
+One jitted f64 kernel per geometry (the x64-scoped pattern of
+xray/device_splat.py): box, OBB, frustum, S2 cell union, plus the
+attribute interval filter — each mirrors its host twin's exact operation
+sequence (math/geometry.py contains(); math/s2_device.py for the
+trig-free point->cell-id + id-range membership).  WebMercatorRect stays on
+host: its membership test runs through transcendental geodetic math
+(ecef_to_geodetic) whose libm rounding is not guaranteed to match between
+host and device — the host is the semantic reference, so that filter is
+not offloaded.
 
 `point_filter_mask` returns None when a query cannot run on device; the
 caller falls back to the host path (PointQuery.filter_batch does this
@@ -60,6 +61,12 @@ def _interval_mask(values, lows, highs, n_intervals):
     return keep
 
 
+def _is_cell_union(location) -> bool:
+    from ..s2_cells.cell_union import CellUnion
+
+    return isinstance(location, CellUnion) and len(location) > 0
+
+
 def point_filter_mask(
     location,
     positions: np.ndarray,
@@ -81,8 +88,10 @@ def point_filter_mask(
         geometry, Frustum
     ):
         mask = ("frustum", geometry)
+    elif _is_cell_union(location):
+        mask = ("cell_union", location)
     else:
-        return None  # WebMercatorRect / cell unions / custom: host only
+        return None  # WebMercatorRect / custom: host only
 
     intervals = intervals or {}
     for name, interval in intervals.items():
@@ -110,6 +119,15 @@ def point_filter_mask(
                 jnp.asarray(iso.rotation.T, dtype=jnp.float64),
                 jnp.asarray(iso.translation, dtype=jnp.float64),
                 jnp.asarray(g.half_extent, dtype=jnp.float64),
+            )
+        elif mask[0] == "cell_union":
+            from ..math.s2_device import _union_mask
+
+            union = mask[1]
+            keep = _union_mask(
+                p,
+                jnp.asarray(union._range_min, dtype=jnp.uint64),
+                jnp.asarray(union._range_max, dtype=jnp.uint64),
             )
         else:
             keep = _frustum_mask(

@@ -58,6 +58,72 @@ def test_device_interval_filter_bit_equal(points):
     np.testing.assert_array_equal(host, dev)
 
 
+def _earth_points(n, seed):
+    """Points spread over all 6 S2 faces in the WGS84 radius band, plus
+    exact face-boundary directions (|x| == |y| ties exercise the argmax
+    tie-break) and axis poles."""
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    r = rng.uniform(6.35e6, 6.39e6, (n, 1))
+    special = np.array([
+        [1.0, 1.0, 0.0], [1.0, -1.0, 0.0], [0.0, 1.0, 1.0],
+        [1.0, 1.0, 1.0], [-1.0, -1.0, -1.0],
+        [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+        [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0],
+    ]) * 6.37e6
+    return np.concatenate([d * r, special])
+
+
+def test_device_s2_leaf_ids_bit_equal():
+    """math/s2_device point->leaf-cell-id is bit-equal to the host
+    pipeline (trig-free: argmax + IEEE div/sqrt + integer Hilbert)."""
+    from jax._src.config import enable_x64
+
+    from point_cloud_viewer_tpu.math import s2
+    from point_cloud_viewer_tpu.math.s2_device import _leaf_ids
+
+    pts = _earth_points(50_000, seed=3)
+    host = s2.leaf_cell_ids_from_points(pts)
+    with enable_x64(True):
+        dev = np.asarray(_leaf_ids(jax.numpy.asarray(pts)))
+    np.testing.assert_array_equal(host, dev)
+
+
+@pytest.mark.parametrize("level", [4, 10, 20])
+def test_device_cell_union_mask_bit_equal(level):
+    from point_cloud_viewer_tpu.math import s2
+    from point_cloud_viewer_tpu.s2_cells.cell_union import CellUnion
+
+    pts = _earth_points(30_000, seed=7)
+    # A union of parents of a few sample points (guarantees hits) at the
+    # requested level, plus a disjoint far cell.
+    sample = s2.leaf_cell_ids_from_points(pts[:5])
+    union = CellUnion([int(c) for c in s2.parent(sample, level)])
+    host = union.contains(pts)
+    dev = point_filter_mask(union, pts)
+    assert dev is not None
+    np.testing.assert_array_equal(host, dev)
+    assert 0 < host.sum() < len(pts), "degenerate union fixture"
+
+
+def test_device_cell_union_with_intervals_bit_equal():
+    from point_cloud_viewer_tpu.math import s2
+    from point_cloud_viewer_tpu.math.intervals import ClosedInterval
+    from point_cloud_viewer_tpu.s2_cells.cell_union import CellUnion
+
+    pts = _earth_points(20_000, seed=9)
+    rng = np.random.default_rng(1)
+    intensity = (rng.random(len(pts)) * 50.0).astype(np.float32)
+    sample = s2.leaf_cell_ids_from_points(pts[:3])
+    union = CellUnion([int(c) for c in s2.parent(sample, 6)])
+    iv = {"intensity": ClosedInterval(10.0, 30.0)}
+    host = union.contains(pts) & iv["intensity"].contains(intensity)
+    dev = point_filter_mask(union, pts, intervals=iv,
+                            attributes={"intensity": intensity})
+    np.testing.assert_array_equal(host, dev)
+
+
 def test_unsupported_queries_fall_back(points):
     from point_cloud_viewer_tpu.math.web_mercator import (
         WebMercatorCoord, WebMercatorRect,
