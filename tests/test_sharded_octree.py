@@ -145,3 +145,29 @@ def test_exact_build_never_touches_f32_stats_path(tmp_path, monkeypatch):
     )
     result = build_octree(str(tmp_path / "o"), 0.01, batch, mesh=_cpu_mesh(4))
     assert result.num_points == n
+
+
+def test_mesh_built_cloud_geodesic_queries(tmp_path):
+    """BASELINE config 5's query clause (pytest twin of the dryrun tail):
+    s2 cell-union and web-mercator-rect queries over a MESH-BUILT octree of
+    an Earth-surface cloud return exactly the brute-force membership sets
+    (index-in-color re-identification)."""
+    import __graft_entry__ as ge
+    from point_cloud_viewer_tpu.math.wgs84 import local_frame_from_lat_lng
+
+    rng = np.random.default_rng(8)
+    n = 120_000
+    local = (rng.random((n, 3)) - 0.5) * np.array([200.0, 200.0, 20.0])
+    frame = local_frame_from_lat_lng(37.4, -122.1)
+    ecef = frame.inverse().transform_points(local)
+    idx = np.arange(n, dtype=np.uint32)
+    color = np.stack(
+        [(idx >> 16) & 0xFF, (idx >> 8) & 0xFF, idx & 0xFF], axis=1
+    ).astype(np.uint8)
+    batch = PointsBatch(position=ecef, attributes={"color": color})
+    mesh_dir = str(tmp_path / "mesh_built")
+    host_dir = str(tmp_path / "host_built")
+    build_octree(mesh_dir, 0.01, batch, mesh=_cpu_mesh(8))
+    build_octree(host_dir, 0.01, batch)
+    union_n, rect_n = ge._geodesic_query_check(mesh_dir, host_dir, ecef)
+    assert union_n > 0 and rect_n > 0
