@@ -42,30 +42,46 @@ def synth_points(n: int, seed: int = 0):
 
 def time_build(
     batch, use_device: bool, resolution: float, warm: bool = False,
-    native_kernels: bool = True,
+    native_kernels: bool = True, repeats: int = 1, phases: dict = None,
 ) -> float:
-    """Wall time of one full build (points in memory -> octree on disk).
+    """Wall time of one full build (points in memory -> octree on disk),
+    median over `repeats` runs (host timings on this shared 1-core machine
+    vary ~2x run to run — the r2->r3 'regression' was exactly this noise;
+    medians make rounds comparable).
 
-    warm=True runs the build twice and times the second — the device path's
-    first run includes a one-off remote XLA compile (~30-40 s on the relay)
+    warm=True runs one extra untimed build first — the device path's first
+    run includes a one-off remote XLA compile (~30-40 s on the relay)
     that is not part of steady-state throughput.  native_kernels=False
-    forces the pure-numpy pipeline (the unaccelerated CPU baseline)."""
+    forces the pure-numpy pipeline (the unaccelerated CPU baseline).
+    `phases` (a dict) collects the per-phase wall-time split of the MEDIAN
+    run (quantize+morton / sort / discover+subsample / encode+write)."""
     import contextlib
 
     from point_cloud_viewer_tpu import native
     from point_cloud_viewer_tpu.octree.builder import build_octree
 
     ctx = contextlib.nullcontext() if native_kernels else native.disabled()
+    runs = []  # (dt, phase dict)
     with ctx:
-        for _ in range(1 + int(warm)):
+        for rep in range(int(warm) + repeats):
             out = tempfile.mkdtemp(prefix="bench_octree_")
+            pt: dict = {}
             try:
                 t0 = time.perf_counter()
-                build_octree(out, resolution, batch, use_device=use_device)
+                build_octree(
+                    out, resolution, batch, use_device=use_device,
+                    phase_times=pt,
+                )
                 dt = time.perf_counter() - t0
             finally:
                 shutil.rmtree(out, ignore_errors=True)
-    return dt
+            if not (warm and rep == 0):
+                runs.append((dt, pt))
+    runs.sort(key=lambda r: r[0])
+    median = runs[len(runs) // 2]
+    if phases is not None:
+        phases.update({k: round(v, 3) for k, v in median[1].items()})
+    return median[0]
 
 
 def time_device_core(batch, resolution: float, repeats: int = 3) -> float:
@@ -105,6 +121,93 @@ def time_device_core(batch, resolution: float, repeats: int = 3) -> float:
     return (time.perf_counter() - t0) / repeats
 
 
+def _hbm_probes(timed_scalar, key) -> dict:
+    """Three streaming-bandwidth probe shapes; the max is the denominator
+    every '(x)-off-roofline' verdict divides by:
+
+    * add_1d   — flat f32 add (the r2/r3 probe: one read + one write),
+    * add_2d   — the same traffic through a (rows, 512) layout,
+    * pallas_copy — a Pallas sequential-grid copy kernel with an SMEM
+      scalar added per block (full-lane VMEM blocks, explicit pipeline).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    iters = 20
+    n_probe = 128_000_000
+
+    x = jax.jit(lambda k: jax.random.uniform(k, (n_probe,), jnp.float32))(key)
+
+    @jax.jit
+    def probe_1d(v):
+        def body(i, acc):
+            y = jax.lax.optimization_barrier(v + acc)
+            return y[0] * 1e-30 + y[-1] * 1e-30
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    s = timed_scalar(lambda v: float(probe_1d(v)), x) / iters
+    out["hbm_probe_add_1d_gbps"] = round(2 * 4 * n_probe / s / 1e9, 1)
+
+    x2 = x.reshape(-1, 512)
+
+    @jax.jit
+    def probe_2d(v):
+        def body(i, acc):
+            y = jax.lax.optimization_barrier(v + acc)
+            return y[0, 0] * 1e-30 + y[-1, -1] * 1e-30
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    s = timed_scalar(lambda v: float(probe_2d(v)), x2) / iters
+    out["hbm_probe_add_2d_gbps"] = round(2 * 4 * n_probe / s / 1e9, 1)
+    del x2
+
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        lanes, rows = 128, 2048
+        m = n_probe // lanes  # 1M rows
+
+        def copy_kernel(s_ref, x_ref, o_ref):
+            o_ref[:] = x_ref[:] + s_ref[0, 0]
+
+        copy = pl.pallas_call(
+            copy_kernel,
+            out_shape=jax.ShapeDtypeStruct((m, lanes), jnp.float32),
+            grid=(m // rows,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((rows, lanes), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rows, lanes), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        xp = x.reshape(m, lanes)
+
+        @jax.jit
+        def probe_pl(v):
+            def body(i, acc):
+                y = copy(acc.reshape(1, 1), v)
+                return y[-1, -1] * 1e-30
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        s = timed_scalar(lambda v: float(probe_pl(v)), xp) / iters
+        out["hbm_probe_pallas_copy_gbps"] = round(2 * 4 * n_probe / s / 1e9, 1)
+    except Exception as e:
+        import sys
+
+        print(f"[bench] pallas copy probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    out["hbm_probe_gbps"] = max(
+        v for k, v in out.items() if k.startswith("hbm_probe_")
+    )
+    return out
+
+
 def bench_device_scaling(
     sizes=(16_000_000, 64_000_000, 128_000_000, 256_000_000),
     depth: int = 21, repeats: int = 2
@@ -135,27 +238,19 @@ def bench_device_scaling(
 
     key = jax.random.key(0)
 
-    # Achieved-bandwidth probe first: an optimization_barrier'd add stream
-    # (one read + one write per element), amortized over an in-device
-    # fori_loop so the relay's ~28 ms dispatch floor doesn't mask kernel
-    # time.  Measured 336 GB/s on the v5e here (spec ~819).
+    # Achieved-bandwidth probes (VERDICT r3 item 4: every roofline verdict
+    # keys off this number, so try SEVERAL shapes and take the max).  Each
+    # streams one read + one write per element with a data-dependent carry
+    # (a zero-folded carry lets XLA hoist the loop-invariant op and every
+    # shape "measures" the dispatch floor), amortized over an in-device
+    # fori_loop against the relay's ~28 ms dispatch floor.
     try:
-        n_probe = 128_000_000
-        iters = 20
-        x = jax.jit(lambda k: jax.random.uniform(k, (n_probe,), jnp.float32))(key)
+        out.update(_hbm_probes(timed_scalar, key))
+    except Exception as e:
+        import sys
 
-        @jax.jit
-        def probe(v):
-            def body(i, acc):
-                y = jax.lax.optimization_barrier(v + acc)
-                return y[0] * 1e-30 + y[-1] * 1e-30
-            return jax.lax.fori_loop(0, iters, body, 0.0)
-
-        probe_s = timed_scalar(lambda v: float(probe(v)), x) / iters
-        out["hbm_probe_gbps"] = round(2 * 4 * n_probe / probe_s / 1e9, 1)
-        del x
-    except Exception:
-        pass
+        print(f"[bench] hbm probes failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     for n in sizes:
         tag = f"{n // 1_000_000}m"
@@ -264,7 +359,8 @@ def time_cull(num_nodes: int, frames: int = 200):
     """ms/frame of the cull+LOD step over a node table sized like a
     100M-point octree (~num_nodes nodes).
 
-    Returns (host_ms, device_ms, device_batched_ms): the host-native kernel
+    Returns (host_ms, device_ms, device_batched_ms, device_kernel_ms —
+    dispatch-floor-subtracted): the host-native kernel
     is the interactive path on this machine (the TPU sits behind a relay
     with ~30 ms round-trip latency, so any per-frame device dispatch breaks
     the 60 fps budget by construction); the device kernel is the path for
@@ -327,7 +423,46 @@ def time_cull(num_nodes: int, frames: int = 200):
 
         print(f"[bench] device cull failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-        return host_ms, None, None
+        return host_ms, None, None, None
+
+    # Dispatch-floor-subtracted kernel time (VERDICT r3 item 8): the same
+    # cull runs `iters` times inside ONE dispatch with a data-dependent
+    # matrix perturbation (a constant-folded carry would let XLA hoist the
+    # loop-invariant cull and measure only the relay floor); timing the
+    # SAME loop at 2 and 22 iterations and dividing the delta removes the
+    # ~28 ms relay floor, isolating the on-device per-frame cost — the
+    # production number for a LOCAL-tpu viewer host.
+    kernel_ms = None
+    try:
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def cull_loop(m, ax, qn, qx, mn, ed, npts, iters):
+            def body(i, acc):
+                mi = m + acc * 1e-30
+                order, sizes, _ = frustum_cull_lod_select(
+                    mi, ax, qn, qx, mn, ed, npts
+                )
+                return order[0].astype(jnp.float32) * 1e-30 + sizes[0] * 1e-30
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        def run_loop(iters):
+            fn = functools.partial(cull_loop, *args, iters=iters)
+            float(fn())  # compile + warm
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                float(fn())
+            return (time.perf_counter() - t0) / reps
+
+        t2, t22 = run_loop(2), run_loop(22)
+        kernel_ms = max(t22 - t2, 0.0) / 20 * 1e3
+    except Exception as e:  # noqa: BLE001
+        import sys
+
+        print(f"[bench] cull kernel loop failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     # Batched frames: one dispatch for F frames (amortizes the per-call
     # round trip, which dominates on relayed backends).
@@ -373,7 +508,7 @@ def time_cull(num_nodes: int, frames: int = 200):
     for _ in range(reps):
         run_batch()
     batched_ms = (time.perf_counter() - t0) / (reps * f) * 1e3
-    return host_ms, device_ms, batched_ms
+    return host_ms, device_ms, batched_ms, kernel_ms
 
 
 def _synthetic_1m_node_octree():
@@ -516,6 +651,102 @@ def bench_queries(n: int = 1_000_000) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_big_streaming(
+    n: int, resolution: float = 0.001, use_device: bool = True,
+    batch_points: int = 8_000_000, validate_prefix: int = 16_000_000,
+) -> dict:
+    """The north-star configuration (BASELINE configs 2/5; VERDICT r3
+    item 1): an END-TO-END out-of-core build at >= 256M points through
+    `build_octree_streaming(use_device=True)` — synthetic batches streamed
+    from a generator (bounded RAM), spill to disk, per-bucket device
+    subtree derivation, encode/write — with the per-phase wall split
+    (spill / bucket load / device derive / group / encode+write / top).
+
+    Output is spot-validated: meta point-count conservation over all
+    nodes, plus a sampled-node byte check of a `validate_prefix`-point
+    prefix built separately through the IN-CORE builder (the two paths are
+    byte-identical by the test suite; this re-proves it at bench scale)."""
+    import os
+
+    from point_cloud_viewer_tpu.io.node_io import OnDiskDataProvider
+    from point_cloud_viewer_tpu.math.geometry import Aabb
+    from point_cloud_viewer_tpu.octree.builder import build_octree
+    from point_cloud_viewer_tpu.octree.streaming import build_octree_streaming
+
+    extent = np.array([120.0, 90.0, 40.0])
+    bbox = Aabb(np.zeros(3), extent)
+
+    def gen(total):
+        done = 0
+        seed = 0
+        while done < total:
+            m = min(batch_points, total - done)
+            yield synth_points(m, seed=seed)
+            done += m
+            seed += 1
+
+    out = {}
+    base = tempfile.mkdtemp(prefix="bench_big_")
+    try:
+        phases: dict = {}
+        t0 = time.perf_counter()
+        result = build_octree_streaming(
+            os.path.join(base, "big"), resolution, gen(n), bounding_box=bbox,
+            spill_directory=os.path.join(base, "spill"),
+            use_device=use_device, phase_times=phases,
+        )
+        dt = time.perf_counter() - t0
+        out["e2e_streaming_device_s"] = round(dt, 1)
+        out["e2e_streaming_device_mpts"] = round(n / dt / 1e6, 3)
+        out["e2e_streaming_n"] = n
+        out["streaming_phases"] = {k: round(v, 1) for k, v in phases.items()}
+        total_meta = sum(c for _, c in result.nodes)
+        assert total_meta == n, (total_meta, n)
+        out["big_meta_points_ok"] = True
+
+        # Validation: in-core build of a prefix, byte-compare shared nodes'
+        # files is NOT valid (different point sets).  Instead rebuild the
+        # SAME first `validate_prefix` points through the in-core builder
+        # into its own directory and compare its bytes against a streaming
+        # build of the same prefix.
+        kprefix = min(validate_prefix, n)
+        pre = synth_points(kprefix, seed=0) if kprefix <= batch_points else None
+        if pre is None:
+            batches = []
+            need = kprefix
+            seed = 0
+            while need > 0:
+                m = min(batch_points, need)
+                batches.append(synth_points(m, seed=seed))
+                need -= m
+                seed += 1
+            from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+
+            pre = PointsBatch.concatenate(batches)
+        import hashlib
+
+        d_in = os.path.join(base, "prefix_incore")
+        d_st = os.path.join(base, "prefix_stream")
+        build_octree(d_in, resolution, pre, bounding_box=bbox)
+        build_octree_streaming(
+            d_st, resolution, pre, bounding_box=bbox, use_device=use_device,
+        )
+        files = sorted(os.listdir(d_in))
+        assert files == sorted(os.listdir(d_st))
+        rng = np.random.default_rng(1)
+        sample = rng.choice(len(files), size=min(64, len(files)), replace=False)
+        for i in sample:
+            with open(os.path.join(d_in, files[i]), "rb") as f:
+                a = hashlib.sha256(f.read()).digest()
+            with open(os.path.join(d_st, files[i]), "rb") as f:
+                b = hashlib.sha256(f.read()).digest()
+            assert a == b, files[i]
+        out["big_prefix_byte_check_ok"] = True
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=16_000_000)
@@ -525,6 +756,10 @@ def main() -> None:
                         help="Also run the streaming-query benchmark suite.")
     parser.add_argument("--skip-scaling", action="store_true",
                         help="Skip the 16M-128M device-resident scaling runs.")
+    parser.add_argument("--big", type=int, default=None, metavar="N",
+                        help="Also run the end-to-end out-of-core device "
+                             "build at N points (e.g. 256000000) with a "
+                             "per-phase split.")
     args = parser.parse_args()
 
     batch = synth_points(args.n)
@@ -553,7 +788,11 @@ def main() -> None:
             batch, use_device=True, resolution=args.resolution, warm=True
         ),
     )
-    host_s = time_build(batch, use_device=False, resolution=args.resolution)
+    host_phases: dict = {}
+    host_s = time_build(
+        batch, use_device=False, resolution=args.resolution, repeats=3,
+        phases=host_phases,
+    )
     if args.skip_baseline:
         baseline_s = None
     else:
@@ -561,7 +800,7 @@ def main() -> None:
         # the single-threaded pure-numpy CPU baseline.
         baseline_s = time_build(
             batch, use_device=False, resolution=args.resolution,
-            native_kernels=False,
+            native_kernels=False, repeats=3,
         )
 
     # Headline: the best full pipeline available on this machine.
@@ -569,13 +808,23 @@ def main() -> None:
     mpts = args.n / best_s / 1e6
     ratio = 1.0 if baseline_s is None else baseline_s / best_s
 
-    cull_ms, cull_device_ms, cull_batched_ms = time_cull(num_nodes=4096)
+    cull_ms, cull_device_ms, cull_batched_ms, cull_kernel_ms = time_cull(
+        num_nodes=4096
+    )
     cull_1m_ms, cull_1m_all_ms = time_cull_1m_nodes()
 
     extra = bench_queries() if args.queries else {}
     if not args.skip_scaling:
         extra.update(device_safe("device scaling", bench_device_scaling, {}))
         extra.update(device_safe("xray splat", bench_xray_splat, {}))
+    if args.big:
+        extra.update(
+            device_safe(
+                "big streaming",
+                lambda: bench_big_streaming(args.big, args.resolution),
+                {},
+            )
+        )
 
     print(
         json.dumps(
@@ -603,10 +852,15 @@ def main() -> None:
                     None if cull_batched_ms is None
                     else round(cull_batched_ms, 4)
                 ),
+                "cull_lod_device_kernel_ms_per_frame": (
+                    None if cull_kernel_ms is None
+                    else round(cull_kernel_ms, 4)
+                ),
                 "e2e_device_s": (
                     None if e2e_device_s is None else round(e2e_device_s, 3)
                 ),
                 "host_build_s": round(host_s, 3),
+                "host_build_phases": host_phases,
                 "numpy_baseline_s": (
                     None if baseline_s is None else round(baseline_s, 3)
                 ),

@@ -28,6 +28,7 @@ Output is the reference's on-disk format: meta.pb v13 + per-node .xyz/.rgb/
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
@@ -111,6 +112,7 @@ def build_octree(
     progress: bool = False,
     use_device: bool = False,
     mesh=None,
+    phase_times: Optional[dict] = None,
 ) -> BuildResult:
     """Build a reference-format octree directory from points.
 
@@ -139,9 +141,21 @@ def build_octree(
 
     from ..utils.progress import timed
 
-    phase = (lambda label: timed(f"build_octree: {label}")) if progress else (
-        lambda label: contextlib.nullcontext()
-    )
+    if progress or phase_times is not None:
+
+        @contextlib.contextmanager
+        def phase(label):
+            t0 = time.perf_counter()
+            with timed(f"build_octree: {label}") if progress else (
+                contextlib.nullcontext()
+            ):
+                yield
+            if phase_times is not None:
+                phase_times[label] = (
+                    phase_times.get(label, 0.0) + time.perf_counter() - t0
+                )
+    else:
+        phase = lambda label: contextlib.nullcontext()  # noqa: E731
 
     batch = _materialize(data)
     if attributes is not None:

@@ -47,6 +47,25 @@ from .builder import (
 from .node_id import NodeId
 
 
+import contextlib
+import time as _time
+
+
+@contextlib.contextmanager
+def _timed_phase(phase_times: Optional[dict], key: str):
+    """Accumulate wall time into phase_times[key] (no-op when None)."""
+    if phase_times is None:
+        yield
+        return
+    t0 = _time.perf_counter()
+    try:
+        yield
+    finally:
+        phase_times[key] = (
+            phase_times.get(key, 0.0) + _time.perf_counter() - t0
+        )
+
+
 def _iter_batches(data) -> Iterator[PointsBatch]:
     if isinstance(data, PointsBatch):
         yield data
@@ -135,6 +154,7 @@ def build_octree_streaming(
     bucket_levels: int = 2,
     spill_directory: Optional[str] = None,
     use_device: bool = False,
+    phase_times: Optional[dict] = None,
 ) -> BuildResult:
     """Bounded-memory build: peak RAM ~ the largest bucket (~N/8^B for
     spatially spread data) instead of the whole cloud.
@@ -244,18 +264,22 @@ def build_octree_streaming(
                 except OSError:
                     pass
         total = 0
-        for batch in _iter_batches(data):
-            if attributes is not None:
-                batch = PointsBatch(
-                    position=batch.position,
-                    attributes={a: batch.attributes[a] for a in attributes},
+        with _timed_phase(phase_times, "spill"):
+            for batch in _iter_batches(data):
+                if attributes is not None:
+                    batch = PointsBatch(
+                        position=batch.position,
+                        attributes={a: batch.attributes[a] for a in attributes},
+                    )
+                codes, _ = morton.quantize_and_encode(
+                    batch.position, root_cube.min, root_cube.edge_length,
+                    depth_cap,
                 )
-            codes, _ = morton.quantize_and_encode(
-                batch.position, root_cube.min, root_cube.edge_length, depth_cap
-            )
-            buckets = (codes >> np.uint64(3 * (depth_cap - b_levels))).astype(np.int64)
-            spill.append(buckets, batch)
-            total += len(batch)
+                buckets = (
+                    codes >> np.uint64(3 * (depth_cap - b_levels))
+                ).astype(np.int64)
+                spill.append(buckets, batch)
+                total += len(batch)
         if spill_directory is not None:
             # Atomic: a crash mid-write must not leave truncated JSON that
             # poisons every later resume attempt.
@@ -331,7 +355,8 @@ def build_octree_streaming(
             top_inputs.append((b_levels, residual))
             continue
 
-        bucket_batch = spill.load(bucket)
+        with _timed_phase(phase_times, "bucket_load"):
+            bucket_batch = spill.load(bucket)
         residual, nodes = _build_bucket_subtree(
             output_directory,
             bucket_batch,
@@ -342,6 +367,7 @@ def build_octree_streaming(
             depth_cap=depth_cap,
             use_device=use_device,
             total_cap=total_cap,
+            phase_times=phase_times,
         )
         recorded.extend(nodes)
         top_inputs.append((b_levels, residual))
@@ -364,9 +390,10 @@ def build_octree_streaming(
         spill.delete(bucket)
 
     # --- shallow top: levels b_levels..0 ------------------------------------
-    top_nodes = _finish_top(
-        output_directory, top_inputs, root_cube, resolution, depth_cap
-    )
+    with _timed_phase(phase_times, "top"):
+        top_nodes = _finish_top(
+            output_directory, top_inputs, root_cube, resolution, depth_cap
+        )
     recorded.extend(top_nodes)
 
     meta = _meta_proto(resolution, bounding_box, recorded)
@@ -438,6 +465,7 @@ def _build_bucket_subtree(
     depth_cap: int,
     use_device: bool = False,
     total_cap: Optional[int] = None,
+    phase_times: Optional[dict] = None,
 ) -> Tuple[PointsBatch, List[Tuple[NodeId, int]]]:
     """Build the subtree under one level-B node: writes all nodes at levels
     > B, returns the bucket node's residual points (its post-promotion
@@ -461,23 +489,29 @@ def _build_bucket_subtree(
 
         from ..ops.tree_build import build_tree_device_codes
 
-        codes_unsorted, _ = morton.quantize_and_encode(
-            batch.position, root_cube.min, root_cube.edge_length, depth_cap
-        )
-        hi, lo = morton.split_u64(codes_unsorted)
-        d_idx, d_final, d_leaf = build_tree_device_codes(
-            jnp.asarray(hi), jnp.asarray(lo), depth_cap, depth_cap,
-            root_level=bucket_level, stop_level=bucket_level,
-        )
-        order = np.asarray(d_idx).astype(np.int64)
-        codes = codes_unsorted[order]
-        final_nodes, residual_idx = _group_subtree_levels(
-            codes, np.asarray(d_final), np.asarray(d_leaf), depth_cap,
-            bucket_level,
-        )
-        nodes = _write_levels(
-            output_directory, final_nodes, batch, order, root_cube, resolution
-        )
+        with _timed_phase(phase_times, "bucket_quantize"):
+            codes_unsorted, _ = morton.quantize_and_encode(
+                batch.position, root_cube.min, root_cube.edge_length, depth_cap
+            )
+            hi, lo = morton.split_u64(codes_unsorted)
+        with _timed_phase(phase_times, "bucket_device_derive"):
+            # Includes the host<->device transfers and the fetch sync.
+            d_idx, d_final, d_leaf = build_tree_device_codes(
+                jnp.asarray(hi), jnp.asarray(lo), depth_cap, depth_cap,
+                root_level=bucket_level, stop_level=bucket_level,
+            )
+            order = np.asarray(d_idx).astype(np.int64)
+            d_final, d_leaf = np.asarray(d_final), np.asarray(d_leaf)
+        with _timed_phase(phase_times, "bucket_group"):
+            codes = codes_unsorted[order]
+            final_nodes, residual_idx = _group_subtree_levels(
+                codes, d_final, d_leaf, depth_cap, bucket_level,
+            )
+        with _timed_phase(phase_times, "bucket_encode_write"):
+            nodes = _write_levels(
+                output_directory, final_nodes, batch, order, root_cube,
+                resolution,
+            )
         return batch.take(order[residual_idx]), nodes
 
     codes, _ = morton.quantize_and_encode(
