@@ -154,3 +154,80 @@ def frustum_axes_and_projections(frustum) -> Tuple[np.ndarray, np.ndarray, np.nd
         proj.min(axis=0).astype(np.float32),
         proj.max(axis=0).astype(np.float32),
     )
+
+
+class DeviceCullSession:
+    """Device-resident cull + LOD selection across frames.
+
+    The node table (mins/edges/num_points) uploads ONCE and stays in HBM;
+    each frame ships only a 4x4 matrix and <= `axis_capacity` padded SAT
+    axes (padding axes are all-zero with an infinite query range, so they
+    can never separate — relations are unchanged), keeping every frame the
+    SAME compiled program regardless of the frustum's data-dependent axis
+    count.  `step` is one dispatch per frame; `step_frames` amortizes the
+    dispatch over a whole camera path (one vmapped dispatch for F frames)
+    — the production shapes for a local-TPU viewer host and for offline
+    visibility precomputation respectively.  Replaces per-frame re-upload
+    of the table (reference keeps its nodes in host RAM and re-walks them
+    per frame, src/octree/mod.rs:228-283).
+
+    Determinism contract: `step` is bit-equal to frustum_cull_lod_select
+    on the padded inputs (same program), and `step_frames` to
+    frustum_cull_lod_select_frames.  Between the single-frame and vmapped
+    programs, VISIBLE SETS agree but screen-size floats may differ in
+    rounding (XLA may associate the projection matmuls differently per
+    program, and the hemicube clamp amplifies ulps for cubes straddling
+    w=0), so display order may permute among near-ties — the same class
+    of nondeterminism as the reference's screen-size heuristic."""
+
+    def __init__(self, node_mins, node_edges, num_points,
+                 axis_capacity: int = 32) -> None:
+        self.a_cap = int(axis_capacity)
+        self._mins = jnp.asarray(node_mins, dtype=jnp.float32)
+        self._edges = jnp.asarray(node_edges, dtype=jnp.float32)
+        self._num_points = jnp.asarray(num_points, dtype=jnp.int32)
+
+    def _pad(self, axes, qmin, qmax):
+        a = len(axes)
+        if a > self.a_cap:  # grow once; next frames reuse the new width
+            self.a_cap = int(a * 2)
+        ax = np.zeros((self.a_cap, 3), np.float32)
+        qn = np.full(self.a_cap, -np.inf, np.float32)
+        qx = np.full(self.a_cap, np.inf, np.float32)
+        ax[:a] = axes
+        qn[:a] = qmin
+        qx[:a] = qmax
+        return ax, qn, qx
+
+    def step(self, frustum) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One frame -> (priority_order (K,) i32, sizes (K,), visible (K,)),
+        bit-equal to frustum_cull_lod_select on the unpadded inputs."""
+        axes, qmin, qmax = frustum_axes_and_projections(frustum)
+        ax, qn, qx = self._pad(axes, qmin, qmax)
+        order, sizes, visible = frustum_cull_lod_select(
+            jnp.asarray(frustum.clip_from_query, dtype=jnp.float32),
+            jnp.asarray(ax), jnp.asarray(qn), jnp.asarray(qx),
+            self._mins, self._edges, self._num_points,
+        )
+        return np.asarray(order), np.asarray(sizes), np.asarray(visible)
+
+    def step_frames(self, frustums) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """F frames in ONE dispatch -> ((F, K) orders, sizes, visible)."""
+        mats, axs, qns, qxs = [], [], [], []
+        prep = [frustum_axes_and_projections(f) for f in frustums]
+        if prep:
+            need = max(len(p[0]) for p in prep)
+            if need > self.a_cap:
+                self.a_cap = int(need * 2)
+        for f, (axes, qmin, qmax) in zip(frustums, prep):
+            ax, qn, qx = self._pad(axes, qmin, qmax)
+            mats.append(f.clip_from_query.astype(np.float32))
+            axs.append(ax)
+            qns.append(qn)
+            qxs.append(qx)
+        order, sizes, visible = frustum_cull_lod_select_frames(
+            jnp.asarray(np.stack(mats)), jnp.asarray(np.stack(axs)),
+            jnp.asarray(np.stack(qns)), jnp.asarray(np.stack(qxs)),
+            self._mins, self._edges, self._num_points,
+        )
+        return np.asarray(order), np.asarray(sizes), np.asarray(visible)

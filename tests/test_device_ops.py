@@ -211,3 +211,82 @@ def test_assign_and_promote_looped_matches_matrix():
         np.testing.assert_array_equal(np.asarray(a_cur), np.asarray(b_cur))
         np.testing.assert_array_equal(np.asarray(a_leaf), np.asarray(c_leaf))
         np.testing.assert_array_equal(np.asarray(a_cur), np.asarray(c_cur))
+
+
+def test_device_cull_session_matches_single_calls():
+    """DeviceCullSession (device-resident node table, padded axes so the
+    per-frame program never recompiles, multi-frame stepping) must be
+    bit-equal to frustum_cull_lod_select on the unpadded inputs — padding
+    axes are all-zero with infinite query range, so they never separate."""
+    from point_cloud_viewer_tpu.math.geometry import (
+        Frustum, Isometry, Perspective,
+    )
+    from point_cloud_viewer_tpu.ops.culling import (
+        DeviceCullSession,
+        frustum_axes_and_projections,
+        frustum_cull_lod_select,
+    )
+
+    rng = np.random.default_rng(9)
+    k = 2048
+    levels = rng.integers(0, 8, k)
+    edges = (100.0 / np.exp2(levels)).astype(np.float32)
+    mins = (rng.random((k, 3)) * 100.0).astype(np.float32)
+    num_points = rng.integers(0, 1000, k).astype(np.int32)
+
+    frustums = [
+        Frustum.new(
+            Isometry.from_axis_angle(
+                [0, 1, 0], 0.2 + 0.1 * i, translation=[50.0, 50.0, 180.0]
+            ),
+            Perspective.from_fov(1.2, 1.0, 0.5, 400.0),
+        )
+        for i in range(4)
+    ]
+    session = DeviceCullSession(mins, edges, num_points, axis_capacity=8)
+
+    expected = []
+    for f in frustums:
+        axes, qmin, qmax = frustum_axes_and_projections(f)
+        order, sizes, visible = frustum_cull_lod_select(
+            jnp.asarray(f.clip_from_query, dtype=jnp.float32),
+            jnp.asarray(axes), jnp.asarray(qmin), jnp.asarray(qmax),
+            jnp.asarray(mins), jnp.asarray(edges), jnp.asarray(num_points),
+        )
+        expected.append(
+            (np.asarray(order), np.asarray(sizes), np.asarray(visible))
+        )
+        assert 0 < np.asarray(visible).sum() < k
+
+    for f, (eo, es, ev) in zip(frustums, expected):
+        so, ss, sv = session.step(f)
+        np.testing.assert_array_equal(so, eo)
+        np.testing.assert_array_equal(ss, es)
+        np.testing.assert_array_equal(sv, ev)
+    assert session.a_cap >= 8  # grew past the deliberately tiny capacity
+
+    # step_frames shares the vmapped program, whose fp rounding may differ
+    # from the single-frame program (documented contract): VISIBLE SETS
+    # must agree exactly; sizes/order only where the clamp can't amplify.
+    fo, fs, fv = session.step_frames(frustums)
+    from point_cloud_viewer_tpu.ops.culling import (
+        frustum_cull_lod_select_frames,
+    )
+
+    mats, axs, qns, qxs = [], [], [], []
+    for f in frustums:
+        ax, qn, qx = session._pad(*frustum_axes_and_projections(f))
+        mats.append(f.clip_from_query.astype(np.float32))
+        axs.append(ax)
+        qns.append(qn)
+        qxs.append(qx)
+    bo, bs, bv = frustum_cull_lod_select_frames(
+        jnp.asarray(np.stack(mats)), jnp.asarray(np.stack(axs)),
+        jnp.asarray(np.stack(qns)), jnp.asarray(np.stack(qxs)),
+        jnp.asarray(mins), jnp.asarray(edges), jnp.asarray(num_points),
+    )
+    np.testing.assert_array_equal(fo, np.asarray(bo))  # same program: exact
+    np.testing.assert_array_equal(fs, np.asarray(bs))
+    np.testing.assert_array_equal(fv, np.asarray(bv))
+    for i, (eo, es, ev) in enumerate(expected):
+        np.testing.assert_array_equal(fv[i], ev)  # visible set robust
