@@ -756,11 +756,23 @@ def main() -> None:
                         help="Also run the streaming-query benchmark suite.")
     parser.add_argument("--skip-scaling", action="store_true",
                         help="Skip the 16M-128M device-resident scaling runs.")
-    parser.add_argument("--big", type=int, default=None, metavar="N",
-                        help="Also run the end-to-end out-of-core device "
-                             "build at N points (e.g. 256000000) with a "
-                             "per-phase split.")
+    parser.add_argument("--big", type=int, default=256_000_000, metavar="N",
+                        help="Size of the end-to-end out-of-core device "
+                             "build (0 disables).  Runs in a watchdogged "
+                             "subprocess: a wedged relay mid-build cannot "
+                             "hang the whole bench.")
+    parser.add_argument("--big-only", type=int, default=None, metavar="N",
+                        help="Run ONLY the big streaming build and print "
+                             "its JSON dict (the subprocess mode --big "
+                             "launches).")
+    parser.add_argument("--big-timeout", type=int, default=5400,
+                        help="Seconds before the big-build subprocess is "
+                             "killed (degrades to null fields).")
     args = parser.parse_args()
+
+    if args.big_only:
+        print(json.dumps(bench_big_streaming(args.big_only, args.resolution)))
+        return
 
     batch = synth_points(args.n)
 
@@ -818,13 +830,26 @@ def main() -> None:
         extra.update(device_safe("device scaling", bench_device_scaling, {}))
         extra.update(device_safe("xray splat", bench_xray_splat, {}))
     if args.big:
-        extra.update(
-            device_safe(
-                "big streaming",
-                lambda: bench_big_streaming(args.big, args.resolution),
-                {},
+        import subprocess
+        import sys as _sys
+
+        try:
+            proc = subprocess.run(
+                [_sys.executable, __file__, "--big-only", str(args.big),
+                 "--resolution", str(args.resolution)],
+                capture_output=True, text=True, timeout=args.big_timeout,
             )
-        )
+            if proc.returncode == 0 and proc.stdout.strip():
+                extra.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+            else:
+                print(f"[bench] big streaming failed rc={proc.returncode}: "
+                      f"{proc.stderr[-400:]}", file=__import__('sys').stderr)
+        except subprocess.TimeoutExpired:
+            print("[bench] big streaming timed out (wedged relay?); "
+                  "continuing without it", file=__import__('sys').stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] big streaming subprocess error: {e}",
+                  file=__import__('sys').stderr)
 
     print(
         json.dumps(
