@@ -167,7 +167,9 @@ def _hbm_probes(timed_scalar, key) -> dict:
         from jax.experimental.pallas import tpu as pltpu
 
         lanes, rows = 128, 2048
-        m = n_probe // lanes  # 1M rows
+        grid = n_probe // lanes // rows  # truncate to whole blocks: every
+        m = grid * rows                  # output row IS written (y[-1, -1]
+        n_eff = m * lanes                # must be initialized data)
 
         def copy_kernel(s_ref, x_ref, o_ref):
             o_ref[:] = x_ref[:] + s_ref[0, 0]
@@ -175,7 +177,7 @@ def _hbm_probes(timed_scalar, key) -> dict:
         copy = pl.pallas_call(
             copy_kernel,
             out_shape=jax.ShapeDtypeStruct((m, lanes), jnp.float32),
-            grid=(m // rows,),
+            grid=(grid,),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -185,7 +187,7 @@ def _hbm_probes(timed_scalar, key) -> dict:
             out_specs=pl.BlockSpec((rows, lanes), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
         )
-        xp = x.reshape(m, lanes)
+        xp = x[:n_eff].reshape(m, lanes)
 
         @jax.jit
         def probe_pl(v):
@@ -195,7 +197,7 @@ def _hbm_probes(timed_scalar, key) -> dict:
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
         s = timed_scalar(lambda v: float(probe_pl(v)), xp) / iters
-        out["hbm_probe_pallas_copy_gbps"] = round(2 * 4 * n_probe / s / 1e9, 1)
+        out["hbm_probe_pallas_copy_gbps"] = round(2 * 4 * n_eff / s / 1e9, 1)
     except Exception as e:
         import sys
 
@@ -668,7 +670,6 @@ def bench_big_streaming(
     byte-identical by the test suite; this re-proves it at bench scale)."""
     import os
 
-    from point_cloud_viewer_tpu.io.node_io import OnDiskDataProvider
     from point_cloud_viewer_tpu.math.geometry import Aabb
     from point_cloud_viewer_tpu.octree.builder import build_octree
     from point_cloud_viewer_tpu.octree.streaming import build_octree_streaming

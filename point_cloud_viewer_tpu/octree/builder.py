@@ -28,7 +28,6 @@ Output is the reference's on-disk format: meta.pb v13 + per-node .xyz/.rgb/
 from __future__ import annotations
 
 import os
-import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
@@ -137,25 +136,13 @@ def build_octree(
     forcing inside the per-shard kernel, and at most ~N/8 residual points
     reach it.
     """
-    import contextlib
+    from ..utils.progress import timed_phase
 
-    from ..utils.progress import timed
-
-    if progress or phase_times is not None:
-
-        @contextlib.contextmanager
-        def phase(label):
-            t0 = time.perf_counter()
-            with timed(f"build_octree: {label}") if progress else (
-                contextlib.nullcontext()
-            ):
-                yield
-            if phase_times is not None:
-                phase_times[label] = (
-                    phase_times.get(label, 0.0) + time.perf_counter() - t0
-                )
-    else:
-        phase = lambda label: contextlib.nullcontext()  # noqa: E731
+    def phase(label):
+        return timed_phase(
+            phase_times, label,
+            echo=f"build_octree: {label}" if progress else None,
+        )
 
     batch = _materialize(data)
     if attributes is not None:
@@ -443,16 +430,32 @@ def _split_fat_leaves(
         return codes, order, []
     run_offsets = np.concatenate([[0], np.cumsum(counts)])
     fat_idx = np.flatnonzero(fat)
+    # Sliding dispatch window over the mesh devices: at most one in-flight
+    # derivation per device, so host sub_codes + device hi/lo buffers stay
+    # bounded (a planet-scale deep build can put most of N in fat cells —
+    # dispatching ALL cells up front would hold every cell's buffers live
+    # at once).  Each cell still lands on its round-robin device.
     pending = {}
-    if mesh is not None:
-        devs = list(mesh.devices.flat)
-        for slot, i in enumerate(fat_idx):
+    devs = list(mesh.devices.flat) if mesh is not None else []
+    eligible = [
+        int(i) for i in fat_idx
+        if int(run_offsets[i + 1]) - int(run_offsets[i]) >= _DEEP_DEVICE_MIN_N
+    ] if devs else []
+
+    next_slot = 0
+
+    def refill():
+        nonlocal next_slot
+        while next_slot < len(eligible) and len(pending) < len(devs):
+            i = eligible[next_slot]
             s, e = int(run_offsets[i]), int(run_offsets[i + 1])
-            if e - s >= _DEEP_DEVICE_MIN_N:
-                pending[int(i)] = _dispatch_deep_device(
-                    batch, order[s:e], int(uniq[i]), root_cube, depth_cap,
-                    total_cap, device=devs[slot % len(devs)],
-                )
+            pending[i] = _dispatch_deep_device(
+                batch, order[s:e], int(uniq[i]), root_cube, depth_cap,
+                total_cap, device=devs[next_slot % len(devs)],
+            )
+            next_slot += 1
+
+    refill()
     recorded: List[Tuple[NodeId, int]] = []
     keep_codes: List[np.ndarray] = []
     keep_order: List[np.ndarray] = []
@@ -464,8 +467,9 @@ def _split_fat_leaves(
         residual_order, nodes = _build_deep_subtree(
             directory, batch, order[s:e], int(uniq[i]), root_cube,
             resolution, depth_cap, total_cap, use_device=use_device,
-            precomputed=pending.get(int(i)),
+            precomputed=pending.pop(int(i), None),
         )
+        refill()
         recorded.extend(nodes)
         keep_codes.append(np.full(len(residual_order), uniq[i], dtype=np.uint64))
         keep_order.append(residual_order)

@@ -47,23 +47,7 @@ from .builder import (
 from .node_id import NodeId
 
 
-import contextlib
-import time as _time
-
-
-@contextlib.contextmanager
-def _timed_phase(phase_times: Optional[dict], key: str):
-    """Accumulate wall time into phase_times[key] (no-op when None)."""
-    if phase_times is None:
-        yield
-        return
-    t0 = _time.perf_counter()
-    try:
-        yield
-    finally:
-        phase_times[key] = (
-            phase_times.get(key, 0.0) + _time.perf_counter() - t0
-        )
+from ..utils.progress import timed_phase as _timed_phase
 
 
 def _iter_batches(data) -> Iterator[PointsBatch]:

@@ -213,6 +213,14 @@ class DeviceCullSession:
 
     def step_frames(self, frustums) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """F frames in ONE dispatch -> ((F, K) orders, sizes, visible)."""
+        frustums = list(frustums)
+        if not frustums:
+            k = len(self._edges)
+            return (
+                np.empty((0, k), np.int32),
+                np.empty((0, k), np.float32),
+                np.empty((0, k), bool),
+            )
         mats, axs, qns, qxs = [], [], [], []
         prep = [frustum_axes_and_projections(f) for f in frustums]
         if prep:

@@ -61,6 +61,27 @@ def timed(label: str, stream=None) -> Iterator[None]:
 
 
 @contextlib.contextmanager
+def timed_phase(phase_times: Optional[dict], key: str,
+                echo: Optional[str] = None) -> Iterator[None]:
+    """Accumulate wall time into phase_times[key] (no-op dict when None);
+    with `echo`, also print a `timed`-style breadcrumb.  Records on
+    exceptions too (try/finally), so a failed phase still shows where the
+    time went."""
+    t0 = time.perf_counter()
+    try:
+        if echo is not None:
+            with timed(echo):
+                yield
+        else:
+            yield
+    finally:
+        if phase_times is not None:
+            phase_times[key] = (
+                phase_times.get(key, 0.0) + time.perf_counter() - t0
+            )
+
+
+@contextlib.contextmanager
 def jax_trace(log_dir: Optional[str]) -> Iterator[None]:
     """Wrap a region in a jax.profiler trace when log_dir is given."""
     if not log_dir:

@@ -80,7 +80,9 @@ class XRayStrategy(ColoringStrategy):
         keys_all = np.concatenate(self._keys)
         # The device kernel packs (pixel, z) into u32: pow-2 tiles <= 1024 px
         # (the reference's range) fit; anything larger stays on host.
-        if self.device and image_size * image_size * 2048 <= 2**32:
+        from .device_splat import _Z_KEYS
+
+        if self.device and image_size * image_size * _Z_KEYS <= 2**32:
             from .device_splat import xray_occupancy_device
 
             counts = xray_occupancy_device(keys_all, image_size)

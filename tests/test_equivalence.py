@@ -194,6 +194,32 @@ def test_web_mercator_rect_equivalence(earth_data):
     assert set(b.tolist()) == set(np.nonzero(rect.contains(ecef))[0].tolist())
 
 
+def test_device_filter_equivalence(earth_data):
+    """Streaming with device_filter=True must return exactly the host
+    client's result sets — across both containers, for a convex geometry
+    (box) and the geodesic cell-union (the round-4 device S2 path)."""
+    _, ecef, oct_dir, s2_dir = earth_data
+    center = ecef.mean(axis=0)
+    box = Aabb(center - 60.0, center + 60.0)
+    leaves = s2.leaf_cell_ids_from_points(ecef[:1000])
+    union = CellUnion(np.unique(s2.parent(leaves, 18)))
+    for location in (box, union):
+        for d in (oct_dir, s2_dir):
+            results = []
+            for dev in (False, True):
+                client = PointCloudClient.from_locations(
+                    [d], num_threads=2, device_filter=dev
+                )
+                batches = []
+                client.for_each_point_data(
+                    PointQuery(attributes=["color"], location=location),
+                    batches.append,
+                )
+                results.append(_indices(batches))
+            np.testing.assert_array_equal(results[0], results[1])
+            assert len(results[0]) > 0
+
+
 def test_intensity_filter_equivalence(earth_data):
     from point_cloud_viewer_tpu.math.intervals import ClosedInterval
     from point_cloud_viewer_tpu.query.location import AllPoints
