@@ -101,8 +101,22 @@ def point_filter_mask(
         if not np.issubdtype(np.asarray(data).dtype, np.number):
             return None
 
+    # Pad the batch to the next power of two: node point counts are all
+    # distinct, and jit compiles one program PER SHAPE — unpadded, a
+    # stream over K nodes pays K compiles (minutes each through a remote
+    # relay).  Padding rows duplicate row 0; their mask values are sliced
+    # off below, and row 0's own result is unaffected (pure per-point
+    # kernels).
+    pos2d = np.atleast_2d(positions)
+    n_real = pos2d.shape[0]
+    n_pad = max(512, 1 << (n_real - 1).bit_length()) if n_real else 0
+    if n_pad > n_real:
+        pos2d = np.concatenate(
+            [pos2d, np.broadcast_to(pos2d[:1], (n_pad - n_real, 3))]
+        )
+
     with _enable_x64(True):
-        p = jnp.asarray(np.atleast_2d(positions), dtype=jnp.float64)
+        p = jnp.asarray(pos2d, dtype=jnp.float64)
         if mask is None:
             keep = jnp.ones(p.shape[0], dtype=bool)
         elif mask[0] == "box":
@@ -135,11 +149,20 @@ def point_filter_mask(
             )
         if intervals:
             names = sorted(intervals)
-            vals = jnp.asarray(
-                np.stack(
-                    [np.asarray(attributes[n], dtype=np.float64) for n in names]
-                )
+            vals_np = np.stack(
+                [np.asarray(attributes[n], dtype=np.float64) for n in names]
             )
+            if n_pad > n_real:
+                vals_np = np.concatenate(
+                    [
+                        vals_np,
+                        np.broadcast_to(
+                            vals_np[:, :1], (len(names), n_pad - n_real)
+                        ),
+                    ],
+                    axis=1,
+                )
+            vals = jnp.asarray(vals_np)
             lows = jnp.asarray(
                 np.array([intervals[n].lower_bound for n in names], dtype=np.float64)
             )
@@ -147,4 +170,4 @@ def point_filter_mask(
                 np.array([intervals[n].upper_bound for n in names], dtype=np.float64)
             )
             keep = keep & _interval_mask(vals, lows, highs, len(names))
-        return np.asarray(keep)
+        return np.asarray(keep)[:n_real]

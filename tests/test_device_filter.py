@@ -124,6 +124,24 @@ def test_device_cell_union_with_intervals_bit_equal():
     np.testing.assert_array_equal(host, dev)
 
 
+@pytest.mark.parametrize("n", [1, 3, 511, 512, 513, 700])
+def test_padding_boundaries_bit_equal(points, n):
+    """point_filter_mask pads batches to power-of-two shapes (one compile
+    per bucket, not per node size); the sliced-back mask must stay
+    bit-equal to the host at sizes straddling the pad boundaries."""
+    pts = points[:n]
+    geometry = _geometries()["box"]
+    loc = location_for(geometry)
+    rng = np.random.default_rng(11)
+    intensity = (rng.random(n) * 100.0).astype(np.float32)
+    iv = {"intensity": ClosedInterval(20.0, 60.0)}
+    host = loc.contains(pts) & iv["intensity"].contains(intensity)
+    dev = point_filter_mask(loc, pts, intervals=iv,
+                            attributes={"intensity": intensity})
+    assert dev is not None and dev.shape == (n,)
+    np.testing.assert_array_equal(host, dev)
+
+
 def test_unsupported_queries_fall_back(points):
     from point_cloud_viewer_tpu.math.web_mercator import (
         WebMercatorCoord, WebMercatorRect,
