@@ -107,12 +107,12 @@ def write_node_files(
                 pass
         return 0
     with open(stem + ".xyz", "wb") as f:
-        f.write(np.ascontiguousarray(encoded_positions).tobytes())
+        np.ascontiguousarray(encoded_positions).tofile(f)
     for name, arr in attributes.items():
         if len(arr) != n:
             raise ValueError(f"attribute {name} length {len(arr)} != {n}")
         with open(stem + "." + attribute_extension(name), "wb") as f:
-            f.write(np.ascontiguousarray(_little_endian(arr)).tobytes())
+            np.ascontiguousarray(_little_endian(arr)).tofile(f)
     return n
 
 
