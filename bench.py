@@ -656,18 +656,24 @@ def bench_queries(n: int = 1_000_000) -> dict:
 def bench_big_streaming(
     n: int, resolution: float = 0.001, use_device: bool = True,
     batch_points: int = 8_000_000, validate_prefix: int = 16_000_000,
+    prefix_check: bool = True,
 ) -> dict:
     """The north-star configuration (BASELINE configs 2/5; VERDICT r3
     item 1): an END-TO-END out-of-core build at >= 256M points through
-    `build_octree_streaming(use_device=True)` — synthetic batches streamed
-    from a generator (bounded RAM), spill to disk, per-bucket device
-    subtree derivation, encode/write — with the per-phase wall split
-    (spill / bucket load / device derive / group / encode+write / top).
+    `build_octree_streaming` — synthetic batches streamed from a generator
+    (bounded RAM), spill to disk, per-bucket subtree derivation (on device
+    with use_device, else the native host kernels), encode/write — with the
+    per-phase wall split (spill / bucket load / derive / group /
+    encode+write / top).  Both paths are measured by main(): on THIS
+    machine the device path pays the axon relay (~25 MB/s, minutes-scale
+    stalls observed run-to-run), so the host number is the stable one and
+    the device number is the honest relay-including figure.
 
     Output is spot-validated: meta point-count conservation over all
-    nodes, plus a sampled-node byte check of a `validate_prefix`-point
-    prefix built separately through the IN-CORE builder (the two paths are
-    byte-identical by the test suite; this re-proves it at bench scale)."""
+    nodes, plus (prefix_check) a sampled-node byte check of a
+    `validate_prefix`-point prefix built separately through the IN-CORE
+    builder (the two paths are byte-identical by the test suite; this
+    re-proves it at bench scale)."""
     import os
 
     from point_cloud_viewer_tpu.math.geometry import Aabb
@@ -686,6 +692,7 @@ def bench_big_streaming(
             done += m
             seed += 1
 
+    tag = "device" if use_device else "host"
     out = {}
     base = tempfile.mkdtemp(prefix="bench_big_")
     try:
@@ -697,13 +704,17 @@ def bench_big_streaming(
             use_device=use_device, phase_times=phases,
         )
         dt = time.perf_counter() - t0
-        out["e2e_streaming_device_s"] = round(dt, 1)
-        out["e2e_streaming_device_mpts"] = round(n / dt / 1e6, 3)
+        out[f"e2e_streaming_{tag}_s"] = round(dt, 1)
+        out[f"e2e_streaming_{tag}_mpts"] = round(n / dt / 1e6, 3)
         out["e2e_streaming_n"] = n
-        out["streaming_phases"] = {k: round(v, 1) for k, v in phases.items()}
+        out[f"streaming_phases_{tag}"] = {
+            k: round(v, 1) for k, v in phases.items()
+        }
         total_meta = sum(c for _, c in result.nodes)
         assert total_meta == n, (total_meta, n)
-        out["big_meta_points_ok"] = True
+        out[f"big_meta_points_ok_{tag}"] = True
+        if not prefix_check:
+            return out
 
         # Validation: in-core build of a prefix, byte-compare shared nodes'
         # files is NOT valid (different point sets).  Instead rebuild the
@@ -766,13 +777,23 @@ def main() -> None:
                         help="Run ONLY the big streaming build and print "
                              "its JSON dict (the subprocess mode --big "
                              "launches).")
+    parser.add_argument("--big-mode", choices=["host", "device"],
+                        default="device",
+                        help="Which derive path the --big-only run uses.")
     parser.add_argument("--big-timeout", type=int, default=5400,
-                        help="Seconds before the big-build subprocess is "
-                             "killed (degrades to null fields).")
+                        help="Seconds before the big-build DEVICE subprocess "
+                             "is killed (degrades to null fields); the host "
+                             "subprocess gets min(this, 2700).")
     args = parser.parse_args()
 
     if args.big_only:
-        print(json.dumps(bench_big_streaming(args.big_only, args.resolution)))
+        print(json.dumps(bench_big_streaming(
+            args.big_only, args.resolution,
+            use_device=args.big_mode == "device",
+            # The byte check builds a 16M prefix twice; once (on the stable
+            # host run) is enough.
+            prefix_check=args.big_mode == "host",
+        )))
         return
 
     batch = synth_points(args.n)
@@ -834,23 +855,35 @@ def main() -> None:
         import subprocess
         import sys as _sys
 
-        try:
-            proc = subprocess.run(
-                [_sys.executable, __file__, "--big-only", str(args.big),
-                 "--resolution", str(args.resolution)],
-                capture_output=True, text=True, timeout=args.big_timeout,
-            )
-            if proc.returncode == 0 and proc.stdout.strip():
-                extra.update(json.loads(proc.stdout.strip().splitlines()[-1]))
-            else:
-                print(f"[bench] big streaming failed rc={proc.returncode}: "
-                      f"{proc.stderr[-400:]}", file=__import__('sys').stderr)
-        except subprocess.TimeoutExpired:
-            print("[bench] big streaming timed out (wedged relay?); "
-                  "continuing without it", file=__import__('sys').stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] big streaming subprocess error: {e}",
-                  file=__import__('sys').stderr)
+        # Host first (stable: no relay exposure), then device (the honest
+        # relay-including number, watchdogged hardest).  Separate
+        # subprocesses so a wedged relay mid-device-build cannot take the
+        # host numbers down with it.
+        for mode, tmo in (
+            ("host", min(args.big_timeout, 2700)),
+            ("device", args.big_timeout),
+        ):
+            try:
+                proc = subprocess.run(
+                    [_sys.executable, __file__, "--big-only", str(args.big),
+                     "--big-mode", mode, "--resolution", str(args.resolution)],
+                    capture_output=True, text=True, timeout=tmo,
+                )
+                if proc.returncode == 0 and proc.stdout.strip():
+                    extra.update(
+                        json.loads(proc.stdout.strip().splitlines()[-1])
+                    )
+                else:
+                    print(f"[bench] big streaming ({mode}) failed "
+                          f"rc={proc.returncode}: {proc.stderr[-400:]}",
+                          file=__import__('sys').stderr)
+            except subprocess.TimeoutExpired:
+                print(f"[bench] big streaming ({mode}) timed out (wedged "
+                      "relay?); continuing without it",
+                      file=__import__('sys').stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench] big streaming ({mode}) subprocess error: {e}",
+                      file=__import__('sys').stderr)
 
     print(
         json.dumps(

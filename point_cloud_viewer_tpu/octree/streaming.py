@@ -515,15 +515,17 @@ def _build_bucket_subtree(
             )
         return batch.take(order[residual_idx]), nodes
 
-    codes, _ = morton.quantize_and_encode(
-        batch.position, root_cube.min, root_cube.edge_length, depth_cap
-    )
-    if use_device:
-        from ..ops.tree_build import argsort_codes_on_device
+    with _timed_phase(phase_times, "bucket_quantize"):
+        codes, _ = morton.quantize_and_encode(
+            batch.position, root_cube.min, root_cube.edge_length, depth_cap
+        )
+    with _timed_phase(phase_times, "bucket_sort"):
+        if use_device:
+            from ..ops.tree_build import argsort_codes_on_device
 
-        codes, order = argsort_codes_on_device(codes)
-    else:
-        codes, order = morton.argsort_codes(codes)
+            codes, order = argsort_codes_on_device(codes)
+        else:
+            codes, order = morton.argsort_codes(codes)
 
     if deep:
         from .builder import _split_fat_leaves
@@ -550,33 +552,36 @@ def _build_bucket_subtree(
         nodes.extend(deep_nodes)
         return batch.take(order[residual_idx]), nodes
 
-    out = native.tree_levels(
-        codes, depth_cap, depth_cap, MAX_POINTS_PER_NODE,
-        root_level=bucket_level, stop_level=bucket_level,
-    )
-    if out is not None:
-        leaf_lv, final_lv = out
-        final_nodes, residual_idx = _group_subtree_levels(
-            codes, final_lv, leaf_lv, depth_cap, bucket_level
+    with _timed_phase(phase_times, "bucket_derive"):
+        out = native.tree_levels(
+            codes, depth_cap, depth_cap, MAX_POINTS_PER_NODE,
+            root_level=bucket_level, stop_level=bucket_level,
         )
-    else:
-        # Discover splits INSIDE the bucket: start from the bucket node
-        # itself.
-        levels = _discover_subtree_levels(
-            codes, n, depth_cap, root_cube.edge_length, resolution,
-            bucket_path, bucket_level,
+        if out is not None:
+            leaf_lv, final_lv = out
+            final_nodes, residual_idx = _group_subtree_levels(
+                codes, final_lv, leaf_lv, depth_cap, bucket_level
+            )
+        else:
+            # Discover splits INSIDE the bucket: start from the bucket node
+            # itself.
+            levels = _discover_subtree_levels(
+                codes, n, depth_cap, root_cube.edge_length, resolution,
+                bucket_path, bucket_level,
+            )
+            # Promotion stops AT the bucket level: the bucket root's
+            # accumulated (pre-promotion) list is the residual the top pass
+            # continues from.
+            final_nodes = _subsample_bottom_up(levels, stop_level=bucket_level)
+            residual_idx = (
+                final_nodes.pop(bucket_level).idx
+                if bucket_level in final_nodes
+                else np.empty(0, dtype=np.int64)
+            )
+    with _timed_phase(phase_times, "bucket_encode_write"):
+        nodes = _write_levels(
+            output_directory, final_nodes, batch, order, root_cube, resolution
         )
-        # Promotion stops AT the bucket level: the bucket root's accumulated
-        # (pre-promotion) list is the residual the top pass continues from.
-        final_nodes = _subsample_bottom_up(levels, stop_level=bucket_level)
-        residual_idx = (
-            final_nodes.pop(bucket_level).idx
-            if bucket_level in final_nodes
-            else np.empty(0, dtype=np.int64)
-        )
-    nodes = _write_levels(
-        output_directory, final_nodes, batch, order, root_cube, resolution
-    )
     return batch.take(order[residual_idx]), nodes
 
 
