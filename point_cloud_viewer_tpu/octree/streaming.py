@@ -314,6 +314,45 @@ def build_octree_streaming(
     # (level, batch) pairs feeding the top pass: bucket residuals at level B
     # and whole point sets of shallow leaves.
     top_inputs: List[Tuple[int, PointsBatch]] = []
+
+    def _record_bucket(bkt: int, residual: PointsBatch, nodes) -> None:
+        recorded.extend(nodes)
+        top_inputs.append((b_levels, residual))
+        if checkpointing:
+            # Persist residual + recorded nodes BEFORE deleting the spill:
+            # a crash in between just reprocesses this bucket (idempotent —
+            # node files are rewritten identically).
+            dj, dn = _bucket_done_paths(spill_dir, bkt)
+            with open(dn + ".tmp", "wb") as f:
+                np.savez(
+                    f, position=residual.position,
+                    **{f"attr_{k}": v for k, v in residual.attributes.items()},
+                )
+            os.replace(dn + ".tmp", dn)
+            tmp = dj + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"nodes": [[str(nid.value), c] for nid, c in nodes]}, f
+                )
+            os.replace(tmp, dj)  # json presence = record complete
+        spill.delete(bkt)
+
+    # Device pipelining (non-deep builds): keep ONE bucket's device
+    # derivation in flight ahead of the bucket being finished, so the
+    # host-side group/encode/write and the next spill load run UNDER the
+    # device program + transfers.  Completion is FIFO, so written bytes and
+    # checkpoint order are identical to the sequential path.
+    pipeline_device = use_device and total_cap == depth_cap
+    inflight: List[Tuple[int, PointsBatch, tuple]] = []
+
+    def _complete_oldest() -> None:
+        bkt, bbatch, state = inflight.pop(0)
+        residual, nodes = _finish_device_bucket(
+            output_directory, bbatch, state, root_cube, resolution,
+            depth_cap, b_levels, phase_times,
+        )
+        _record_bucket(bkt, residual, nodes)
+
     for bucket in range(num_buckets):
         if spill.counts[bucket] == 0:
             continue
@@ -357,6 +396,14 @@ def build_octree_streaming(
 
         with _timed_phase(phase_times, "bucket_load"):
             bucket_batch = spill.load(bucket)
+        if pipeline_device:
+            state = _dispatch_device_bucket(
+                bucket_batch, root_cube, depth_cap, b_levels, phase_times
+            )
+            inflight.append((bucket, bucket_batch, state))
+            if len(inflight) > 1:
+                _complete_oldest()
+            continue
         residual, nodes = _build_bucket_subtree(
             output_directory,
             bucket_batch,
@@ -369,25 +416,9 @@ def build_octree_streaming(
             total_cap=total_cap,
             phase_times=phase_times,
         )
-        recorded.extend(nodes)
-        top_inputs.append((b_levels, residual))
-        if checkpointing:
-            # Persist residual + recorded nodes BEFORE deleting the spill:
-            # a crash in between just reprocesses this bucket (idempotent —
-            # node files are rewritten identically).
-            with open(done_npz + ".tmp", "wb") as f:
-                np.savez(
-                    f, position=residual.position,
-                    **{f"attr_{k}": v for k, v in residual.attributes.items()},
-                )
-            os.replace(done_npz + ".tmp", done_npz)
-            tmp = done_json + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(
-                    {"nodes": [[str(nid.value), c] for nid, c in nodes]}, f
-                )
-            os.replace(tmp, done_json)  # json presence = record complete
-        spill.delete(bucket)
+        _record_bucket(bucket, residual, nodes)
+    while inflight:
+        _complete_oldest()
 
     # --- shallow top: levels b_levels..0 ------------------------------------
     with _timed_phase(phase_times, "top"):
@@ -485,35 +516,13 @@ def _build_bucket_subtree(
 
     deep = total_cap is not None and total_cap > depth_cap
     if use_device and not deep:
-        from ..ops.tree_build import tree_codes_on_device_padded
-
-        with _timed_phase(phase_times, "bucket_quantize"):
-            codes_unsorted, _ = morton.quantize_and_encode(
-                batch.position, root_cube.min, root_cube.edge_length, depth_cap
-            )
-            hi, lo = morton.split_u64(codes_unsorted)
-        with _timed_phase(phase_times, "bucket_device_derive"):
-            # Includes the host<->device transfers and the fetch sync.
-            # Power-of-two padding: bucket sizes are all distinct, so the
-            # unpadded call would compile one program PER BUCKET.
-            d_idx, d_final, d_leaf, n_real = tree_codes_on_device_padded(
-                hi, lo, depth_cap, depth_cap,
-                root_level=bucket_level, stop_level=bucket_level,
-            )
-            order = np.asarray(d_idx)[:n_real].astype(np.int64)
-            d_final = np.asarray(d_final)[:n_real]
-            d_leaf = np.asarray(d_leaf)[:n_real]
-        with _timed_phase(phase_times, "bucket_group"):
-            codes = codes_unsorted[order]
-            final_nodes, residual_idx = _group_subtree_levels(
-                codes, d_final, d_leaf, depth_cap, bucket_level,
-            )
-        with _timed_phase(phase_times, "bucket_encode_write"):
-            nodes = _write_levels(
-                output_directory, final_nodes, batch, order, root_cube,
-                resolution,
-            )
-        return batch.take(order[residual_idx]), nodes
+        state = _dispatch_device_bucket(
+            batch, root_cube, depth_cap, bucket_level, phase_times
+        )
+        return _finish_device_bucket(
+            output_directory, batch, state, root_cube, resolution,
+            depth_cap, bucket_level, phase_times,
+        )
 
     with _timed_phase(phase_times, "bucket_quantize"):
         codes, _ = morton.quantize_and_encode(
@@ -581,6 +590,72 @@ def _build_bucket_subtree(
     with _timed_phase(phase_times, "bucket_encode_write"):
         nodes = _write_levels(
             output_directory, final_nodes, batch, order, root_cube, resolution
+        )
+    return batch.take(order[residual_idx]), nodes
+
+
+def _dispatch_device_bucket(
+    batch: PointsBatch,
+    root_cube: Cube,
+    depth_cap: int,
+    bucket_level: int,
+    phase_times: Optional[dict],
+) -> tuple:
+    """Quantize + launch one bucket's device derivation WITHOUT waiting:
+    returns (codes_unsorted, unforced device arrays, n_real).  JAX dispatch
+    is async, so the program (upload + sort + leaf assignment + LOD
+    promotion) runs while the host works on OTHER buckets — the streaming
+    loop keeps one bucket in flight ahead of the one it is finishing
+    (host-side group/encode/write and the next spill load overlap device
+    time; completion stays FIFO, so bytes and checkpoints are identical to
+    the sequential order)."""
+    from ..ops.tree_build import tree_codes_on_device_padded
+
+    with _timed_phase(phase_times, "bucket_quantize"):
+        codes_unsorted, _ = morton.quantize_and_encode(
+            batch.position, root_cube.min, root_cube.edge_length, depth_cap
+        )
+        hi, lo = morton.split_u64(codes_unsorted)
+    with _timed_phase(phase_times, "bucket_device_dispatch"):
+        # Power-of-two padding: bucket sizes are all distinct, so the
+        # unpadded call would compile one program PER BUCKET.
+        d_idx, d_final, d_leaf, n_real = tree_codes_on_device_padded(
+            hi, lo, depth_cap, depth_cap,
+            root_level=bucket_level, stop_level=bucket_level,
+        )
+    return codes_unsorted, d_idx, d_final, d_leaf, n_real
+
+
+def _finish_device_bucket(
+    output_directory: str,
+    batch: PointsBatch,
+    state: tuple,
+    root_cube: Cube,
+    resolution: float,
+    depth_cap: int,
+    bucket_level: int,
+    phase_times: Optional[dict],
+) -> Tuple[PointsBatch, List[Tuple[NodeId, int]]]:
+    """Wait for a dispatched bucket derivation, then group + encode +
+    write its subtree (host side).  Bit-identical to the host kernels."""
+    from .builder import _group_subtree_levels
+
+    codes_unsorted, d_idx, d_final, d_leaf, n_real = state
+    with _timed_phase(phase_times, "bucket_device_derive"):
+        # The fetch sync: includes any not-yet-finished device work and the
+        # device->host transfer of (order, final, leaf).
+        order = np.asarray(d_idx)[:n_real].astype(np.int64)
+        d_final = np.asarray(d_final)[:n_real]
+        d_leaf = np.asarray(d_leaf)[:n_real]
+    with _timed_phase(phase_times, "bucket_group"):
+        codes = codes_unsorted[order]
+        final_nodes, residual_idx = _group_subtree_levels(
+            codes, d_final, d_leaf, depth_cap, bucket_level,
+        )
+    with _timed_phase(phase_times, "bucket_encode_write"):
+        nodes = _write_levels(
+            output_directory, final_nodes, batch, order, root_cube,
+            resolution,
         )
     return batch.take(order[residual_idx]), nodes
 

@@ -290,6 +290,50 @@ def test_streaming_use_device_byte_identical(tmp_path):
             assert a.read() == b.read(), f
 
 
+def test_streaming_device_pipeline_byte_identical(tmp_path):
+    """With buckets holding > MAX_POINTS_PER_NODE points, the device path
+    takes the PIPELINED route (one bucket's derivation dispatched ahead of
+    the bucket being finished, FIFO completion) — output must stay
+    byte-identical to the sequential host streaming build.  The 250k test
+    above only exercises the no-subtree top-feed path; here at least 4
+    buckets go through dispatch+finish with one in flight."""
+    import os
+
+    import numpy as np
+
+    from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+    from point_cloud_viewer_tpu.octree.streaming import build_octree_streaming
+
+    rng = np.random.default_rng(78)
+    n = 900_000
+    # Concentrate mass in 4 octants so those buckets exceed the 100k split
+    # threshold while the rest stay shallow (covers both loop branches
+    # interleaved with in-flight work).
+    octant = rng.integers(0, 4, n)
+    position = rng.random((n, 3)) * 20.0
+    position[:, 0] += (octant % 2) * 20.0
+    position[:, 1] += (octant // 2) * 20.0
+    batch = PointsBatch(
+        position=position,
+        attributes={
+            "color": rng.integers(0, 256, (n, 3), dtype=np.uint8),
+        },
+    )
+    host_dir = str(tmp_path / "host")
+    dev_dir = str(tmp_path / "dev")
+    build_octree_streaming(host_dir, 0.001, batch, bucket_levels=1)
+    build_octree_streaming(dev_dir, 0.001, batch, bucket_levels=1,
+                           use_device=True)
+    fa, fb = sorted(os.listdir(host_dir)), sorted(os.listdir(dev_dir))
+    assert fa == fb
+    assert len(fa) > 12  # real subtrees were built, not just the top
+    for f in fa:
+        with open(os.path.join(host_dir, f), "rb") as a, open(
+            os.path.join(dev_dir, f), "rb"
+        ) as b:
+            assert a.read() == b.read(), f
+
+
 def test_streaming_resume_accepts_legacy_marker(tmp_path):
     """Spill checkpoints written before `total_cap` existed (always
     non-deep builds) must still resume instead of raising a
