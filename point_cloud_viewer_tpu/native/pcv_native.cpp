@@ -105,14 +105,51 @@ void morton_encode(const uint32_t* cells, int64_t n, uint64_t* out) {
 }
 
 // ---------------------------------------------------------------------------
-// Stable LSD radix argsort of u64 keys (8 passes of 8 bits), multithreaded
-// histogramming. Returns the permutation (like np.argsort, stable) and the
-// sorted keys.
+// Stable LSD radix argsort of u64 keys.  Two classic optimizations over the
+// fixed 4x16-bit version (both leave the stable result bit-identical —
+// digit widths never change an LSD argsort's output):
+//  * adaptive digit width from the keys' actual bit-length: 51-bit Morton
+//    codes (the depth-17 bench resolution) sort in 3x17-bit passes instead
+//    of 4x16; small keys (the spill's 6-bit bucket ids) in ONE pass;
+//  * all pass histograms in a single read pass (histograms are
+//    permutation-invariant, so pass p's counts computed on the original
+//    array are valid after p scatters).
+// Constant digits (e.g. a shared bucket prefix) skip their scatter pass.
 
 void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out,
                        uint64_t* keys_out) {
-    constexpr int RADIX_BITS = 16;
-    constexpr int BUCKETS = 1 << RADIX_BITS;
+    const int num_threads = std::max(
+        1, (int)std::min<int64_t>(std::thread::hardware_concurrency(), 16));
+    const int64_t chunk = (n + num_threads - 1) / num_threads;
+
+    // Bit-length of the largest key (OR-fold: only the top set bit matters).
+    uint64_t mx = 0;
+    if (num_threads <= 1 || n < 1000000) {
+        for (int64_t i = 0; i < n; ++i) mx |= keys[i];
+    } else {
+        std::vector<uint64_t> part(num_threads, 0);
+        std::vector<std::thread> threads;
+        for (int t = 0; t < num_threads; ++t) {
+            threads.emplace_back([&, t]() {
+                uint64_t m = 0;
+                const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+                for (int64_t i = lo; i < hi; ++i) m |= keys[i];
+                part[t] = m;
+            });
+        }
+        for (auto& th : threads) th.join();
+        for (uint64_t m : part) mx |= m;
+    }
+    int bits = 64;
+    while (bits > 1 && !((mx >> (bits - 1)) & 1)) --bits;
+    // Minimal passes with digits capped at 17 bits single-threaded (1 MB
+    // histogram) or 16 multithreaded (bounds per-thread histogram memory);
+    // digits sized evenly across the passes.
+    const int digit_cap = num_threads > 1 ? 16 : 17;
+    const int passes = (bits + digit_cap - 1) / digit_cap;
+    const int digit_bits = (bits + passes - 1) / passes;
+    const int64_t buckets = (int64_t)1 << digit_bits;
+
     std::vector<uint64_t> k0(keys, keys + n), k1(n);
     // u32 permutation during the passes (n < 2^32 always holds for
     // in-memory clouds): 25% less scatter traffic than i64.
@@ -124,45 +161,43 @@ void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out,
     uint32_t* pin = p0.data();
     uint32_t* pout = p1.data();
 
-    const int num_threads = std::max(
-        1, (int)std::min<int64_t>(std::thread::hardware_concurrency(), 16));
-    std::vector<int64_t> hist(
-        (size_t)num_threads * BUCKETS);  // per-thread histograms
-    const int64_t chunk = (n + num_threads - 1) / num_threads;
-
-    for (int pass = 0; pass < 4; ++pass) {
-        const int shift = pass * RADIX_BITS;
-        std::fill(hist.begin(), hist.end(), 0);
-        // Parallel histogram.
-        {
-            std::vector<std::thread> threads;
-            for (int t = 0; t < num_threads; ++t) {
-                threads.emplace_back([&, t]() {
-                    int64_t* h = hist.data() + (size_t)t * BUCKETS;
-                    const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
-                    for (int64_t i = lo; i < hi; ++i)
-                        h[(kin[i] >> shift) & (BUCKETS - 1)]++;
-                });
-            }
-            for (auto& th : threads) th.join();
+    // ONE read pass builds every pass's per-thread histogram:
+    // hist[((pass * num_threads) + thread) * buckets + digit].
+    std::vector<int64_t> hist((size_t)passes * num_threads * buckets, 0);
+    {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < num_threads; ++t) {
+            threads.emplace_back([&, t]() {
+                const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+                for (int64_t i = lo; i < hi; ++i) {
+                    const uint64_t k = kin[i];
+                    for (int p = 0; p < passes; ++p)
+                        hist[(((size_t)p * num_threads) + t) * buckets +
+                             ((k >> (p * digit_bits)) & (buckets - 1))]++;
+                }
+            });
         }
-        // Skip constant digits.
+        for (auto& th : threads) th.join();
+    }
+
+    for (int pass = 0; pass < passes; ++pass) {
+        const int shift = pass * digit_bits;
+        int64_t* ph = hist.data() + (size_t)pass * num_threads * buckets;
+        // Skip constant digits (e.g. the shared prefix of one spill
+        // bucket's codes).
         int nonzero = 0;
-        int64_t totals_check = 0;
-        for (int b = 0; b < BUCKETS && nonzero < 2; ++b) {
+        for (int64_t b = 0; b < buckets && nonzero < 2; ++b) {
             int64_t s = 0;
-            for (int t = 0; t < num_threads; ++t)
-                s += hist[(size_t)t * BUCKETS + b];
+            for (int t = 0; t < num_threads; ++t) s += ph[(size_t)t * buckets + b];
             if (s) nonzero++;
-            totals_check += s;
         }
         if (nonzero < 2) continue;
         // Exclusive prefix over (bucket, thread) so each thread scatters to
         // disjoint ranges (stable).
         int64_t acc = 0;
-        for (int b = 0; b < BUCKETS; ++b) {
+        for (int64_t b = 0; b < buckets; ++b) {
             for (int t = 0; t < num_threads; ++t) {
-                int64_t& h = hist[(size_t)t * BUCKETS + b];
+                int64_t& h = ph[(size_t)t * buckets + b];
                 int64_t c = h;
                 h = acc;
                 acc += c;
@@ -173,10 +208,10 @@ void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out,
             std::vector<std::thread> threads;
             for (int t = 0; t < num_threads; ++t) {
                 threads.emplace_back([&, t]() {
-                    int64_t* h = hist.data() + (size_t)t * BUCKETS;
+                    int64_t* h = ph + (size_t)t * buckets;
                     const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
                     for (int64_t i = lo; i < hi; ++i) {
-                        const int64_t o = h[(kin[i] >> shift) & (BUCKETS - 1)]++;
+                        const int64_t o = h[(kin[i] >> shift) & (buckets - 1)]++;
                         kout[o] = kin[i];
                         pout[o] = pin[i];
                     }
