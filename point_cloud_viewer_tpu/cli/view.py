@@ -26,6 +26,12 @@ def main(argv=None) -> int:
         help="Overlay node-cube outlines (the reference's box_drawer "
         "toggle, sdl_viewer 'o' key).",
     )
+    parser.add_argument(
+        "--device_cull", action="store_true",
+        help="Per-frame frustum cull + LOD selection on the accelerator "
+        "(node table resident in HBM, one dispatch per frame) instead of "
+        "the host-native kernels — for hosts with a LOCAL accelerator.",
+    )
     args = parser.parse_args(argv)
 
     from ..viewer.render_loop import run_headless
@@ -38,6 +44,7 @@ def main(argv=None) -> int:
         screenshot_path=args.screenshot,
         use_gl=args.gl,
         show_octree_nodes=args.show_octree_nodes,
+        device_cull=args.device_cull,
     )
     print(
         f"Final frame: {stats.nodes_drawn}/{stats.visible_nodes} nodes, "

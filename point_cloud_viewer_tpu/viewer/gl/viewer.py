@@ -79,11 +79,13 @@ class GlPointCloudRenderer(PointCloudRenderer):
     """PointCloudRenderer whose draw path is the real GL pipeline."""
 
     def __init__(self, octree: Octree, cache_size_mb: int = 2000,
-                 width: int = 800, height: int = 600) -> None:
+                 width: int = 800, height: int = 600,
+                 device_cull: bool = False) -> None:
         self.ctx = GlContext(width=width, height=height)
         self.gl_renderer = PointsRendererGL(self.ctx)
         super().__init__(octree, cache_size_mb=cache_size_mb,
-                         width=width, height=height)
+                         width=width, height=height,
+                         device_cull=device_cull)
         # Replace the software container with the GPU one.
         self.node_views.shutdown()
         self.node_views = GlNodeViewContainer(

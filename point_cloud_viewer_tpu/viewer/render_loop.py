@@ -125,6 +125,7 @@ class PointCloudRenderer:
         cache_size_mb: int = 2000,
         width: int = 800,
         height: int = 600,
+        device_cull: bool = False,
     ) -> None:
         # ~200 KB per node => max nodes = MB * 5 (reference lib.rs:374-385).
         self.octree = octree
@@ -134,6 +135,13 @@ class PointCloudRenderer:
         self.max_nodes_moving = cache_size_mb * 5
         self.point_size_lod = 2  # draw 1/2 of points while moving
         self.show_octree_nodes = False
+        # device_cull: run the per-frame cull through a DeviceCullSession
+        # (node table resident in accelerator HBM, one dispatch per frame)
+        # instead of the host-native kernels — the production path when the
+        # accelerator is local (relay-attached chips pay ~30 ms dispatch
+        # latency per frame, so host culling is the right default here).
+        self.device_cull = device_cull
+        self._cull_session = None
         self._visible: List[NodeId] = []
         self._matrix_queue: "queue.Queue" = queue.Queue()
         self._visible_lock = threading.Lock()
@@ -143,6 +151,23 @@ class PointCloudRenderer:
         self._last_fps: Optional[float] = None
 
     # -- background visible-node computation -------------------------------
+
+    def _device_visible(self, matrix: np.ndarray) -> List[NodeId]:
+        """Visible-node calc through the HBM-resident cull session (same
+        SAT + screen-size rules as the host path, f32; near-tie display
+        order may permute vs the host's f64 — the reference's own
+        screen-size-heuristic nondeterminism class)."""
+        from ..math.geometry import Frustum
+        from ..ops.culling import DeviceCullSession
+
+        if self._cull_session is None:
+            self._cull_session = DeviceCullSession(
+                self.octree.cube_mins, self.octree.cube_edges,
+                self.octree.num_points,
+            )
+        order, _, visible = self._cull_session.step(Frustum.from_matrix4(matrix))
+        count = min(int(visible.sum()), self.node_views.max_nodes)
+        return [self.octree.node_ids[i] for i in order[:count]]
 
     def _visible_worker(self) -> None:
         while not self._stop.is_set():
@@ -158,9 +183,28 @@ class PointCloudRenderer:
                     break
             # Cap at the node-cache capacity: nothing beyond it can be
             # drawn, and the top-K cull is much cheaper at ~1M-node scale.
-            visible = self.octree.get_visible_nodes(
-                matrix, max_nodes=self.node_views.max_nodes
-            )
+            if self.device_cull:
+                try:
+                    visible = self._device_visible(matrix)
+                except Exception as e:  # noqa: BLE001 - degrade, don't die
+                    # A dead/unreachable accelerator must not leave the
+                    # viewer frozen on an empty node list: fall back to the
+                    # host cull for the rest of the session.
+                    import sys
+
+                    print(
+                        f"viewer: device cull failed ({type(e).__name__}: "
+                        f"{e}); falling back to host culling",
+                        file=sys.stderr,
+                    )
+                    self.device_cull = False
+                    visible = self.octree.get_visible_nodes(
+                        matrix, max_nodes=self.node_views.max_nodes
+                    )
+            else:
+                visible = self.octree.get_visible_nodes(
+                    matrix, max_nodes=self.node_views.max_nodes
+                )
             with self._visible_lock:
                 self._visible = visible
 
@@ -230,7 +274,11 @@ class PointCloudRenderer:
 
     def shutdown(self) -> None:
         self._stop.set()
-        self._thread.join(timeout=2)
+        # device_cull: the worker may sit inside a jitted call (first frame
+        # includes the XLA compile); exiting the interpreter with that call
+        # in flight aborts in the XLA runtime's teardown.  Wait it out —
+        # bounded, so a wedged remote backend can't hang exit forever.
+        self._thread.join(timeout=20 if self.device_cull else 2)
         self.node_views.shutdown()
 
 
@@ -243,6 +291,7 @@ def run_headless(
     frame_pacing_s: float = 0.01,
     use_gl: bool = False,
     show_octree_nodes: bool = False,
+    device_cull: bool = False,
 ) -> FrameStats:
     """Drive the full viewer loop headlessly: orbit the camera around the
     cloud, stream nodes, adapt the budget, and optionally save the final
@@ -257,9 +306,13 @@ def run_headless(
     if use_gl:
         from .gl.viewer import GlPointCloudRenderer
 
-        renderer = GlPointCloudRenderer(octree, width=width, height=height)
+        renderer = GlPointCloudRenderer(
+            octree, width=width, height=height, device_cull=device_cull
+        )
     else:
-        renderer = PointCloudRenderer(octree, width=width, height=height)
+        renderer = PointCloudRenderer(
+            octree, width=width, height=height, device_cull=device_cull
+        )
     renderer.show_octree_nodes = show_octree_nodes
     try:
         stats = FrameStats()

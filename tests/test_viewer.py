@@ -114,6 +114,40 @@ def test_node_view_container_lru_and_shuffle(octree_dir):
     container.shutdown()
 
 
+def test_device_cull_renderer_matches_host(octree_dir):
+    """device_cull=True routes the per-frame visible-node calc through
+    DeviceCullSession (HBM-resident node table, one dispatch per frame);
+    the visible node SET must equal the host path's for the same camera
+    (ordering may permute among screen-size near-ties: f32 device vs f64
+    host — the reference's own heuristic-nondeterminism class)."""
+    octree = Octree.from_directory(octree_dir)
+    from point_cloud_viewer_tpu.viewer.camera import Camera
+
+    cam = Camera(640, 480)
+    cam.position = np.array([5.0, 5.0, 25.0])
+    matrix = cam.world_to_gl()
+
+    host = PointCloudRenderer(octree, width=640, height=480)
+    dev = PointCloudRenderer(octree, width=640, height=480, device_cull=True)
+    try:
+        host.camera_changed(matrix)
+        dev.camera_changed(matrix)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            with host._visible_lock, dev._visible_lock:
+                if host._visible and dev._visible:
+                    break
+            time.sleep(0.02)
+        with host._visible_lock, dev._visible_lock:
+            host_ids = set(host._visible)
+            dev_ids = set(dev._visible)
+        assert host_ids, "host path saw nothing — bad fixture"
+        assert dev_ids == host_ids
+    finally:
+        host.shutdown()
+        dev.shutdown()
+
+
 def test_adaptive_budget():
     class Dummy:
         pass
