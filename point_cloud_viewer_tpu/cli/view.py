@@ -32,7 +32,40 @@ def main(argv=None) -> int:
         "(node table resident in HBM, one dispatch per frame) instead of "
         "the host-native kernels — for hosts with a LOCAL accelerator.",
     )
+    parser.add_argument(
+        "--window", action="store_true",
+        help="Open an interactive SDL2 window with the reference's live "
+        "key/mouse/joystick bindings (sdl_viewer/src/lib.rs:350-611). "
+        "Needs libSDL2 and a display; without them this errors and the "
+        "headless mode remains the default.",
+    )
     args = parser.parse_args(argv)
+
+    if args.window:
+        from ..viewer.input import sdl_available
+        from ..viewer.sdl_shell import run_windowed
+
+        if not sdl_available():
+            print(
+                "error: --window needs libSDL2 + a display, which this "
+                "environment lacks; falling back is not implicit — rerun "
+                "without --window for the headless loop.",
+                file=sys.stderr,
+            )
+            return 2
+        stats = run_windowed(
+            args.octree,
+            width=args.width,
+            height=args.height,
+            cache_size_mb=args.cache_size_mb,
+            use_gl=args.gl,
+            device_cull=args.device_cull,
+        )
+        print(
+            f"Final frame: {stats.nodes_drawn}/{stats.visible_nodes} nodes, "
+            f"{stats.points_drawn} points"
+        )
+        return 0
 
     from ..viewer.render_loop import run_headless
 

@@ -135,6 +135,11 @@ class PointCloudRenderer:
         self.max_nodes_moving = cache_size_mb * 5
         self.point_size_lod = 2  # draw 1/2 of points while moving
         self.show_octree_nodes = False
+        # Interactive display knobs (reference lib.rs:505-508 binds keys
+        # 7/8/9/0 to +-0.1 steps); the GL pipeline consumes them as shader
+        # uniforms, the software rasterizer applies them directly.
+        self.gamma = 1.0
+        self.point_size = 2.0
         # device_cull: run the per-frame cull through a DeviceCullSession
         # (node table resident in accelerator HBM, one dispatch per frame)
         # instead of the host-native kernels — the production path when the
@@ -211,6 +216,22 @@ class PointCloudRenderer:
     def camera_changed(self, world_to_gl: np.ndarray) -> None:
         self._matrix_queue.put(world_to_gl)
 
+    # -- display knobs --------------------------------------------------------
+
+    def adjust_gamma(self, delta: float) -> None:
+        """Key 7/8 binding (reference lib.rs:505-506)."""
+        self.gamma = max(0.1, self.gamma + delta)
+        gl = getattr(self, "gl_renderer", None)
+        if gl is not None:
+            gl.gamma = self.gamma
+
+    def adjust_point_size(self, delta: float) -> None:
+        """Key 9/0 binding (reference lib.rs:507-508)."""
+        self.point_size = max(0.1, self.point_size + delta)
+        gl = getattr(self, "gl_renderer", None)
+        if gl is not None:
+            gl.point_size = self.point_size
+
     # -- adaptive budget -----------------------------------------------------
 
     def adapt_budget(self, fps: float) -> None:
@@ -257,8 +278,15 @@ class PointCloudRenderer:
                 if col_parts
                 else np.empty((0, 3), dtype=np.uint8)
             )
+            if self.gamma != 1.0 and len(colors):
+                # Match the GL fragment stage: pow(color, 1/gamma)
+                # (viewer/gl/shaders/points.fs).
+                colors = (
+                    ((colors / 255.0) ** (1.0 / self.gamma)) * 255.0
+                ).astype(np.uint8)
             image = rasterize_points(
-                positions, colors, world_to_gl, self.width, self.height
+                positions, colors, world_to_gl, self.width, self.height,
+                point_size=max(1, int(round(self.point_size / 2.0))),
             )
             if self.show_octree_nodes and drawn_ids:
                 from .software_raster import draw_wireframe_boxes
