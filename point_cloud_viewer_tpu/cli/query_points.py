@@ -22,6 +22,13 @@ def main(argv=None) -> int:
              "device with --device_filter (trig-free point->cell-id).",
     )
     parser.add_argument(
+        "--web_mercator_rect", default=None, metavar="MINX,MINY,MAXX,MAXY,Z",
+        help="Restrict to a Web-Mercator map rectangle given in zoomed "
+             "tile-pixel coordinates at zoom level Z. With --device_filter "
+             "the containment test runs on device (hybrid exact: calibrated "
+             "margin + host boundary refinement, bit-equal to host).",
+    )
+    parser.add_argument(
         "--filter_interval", action="append", default=[], metavar="ATTR=LO,HI"
     )
     parser.add_argument("--num_points", type=int, default=None,
@@ -42,11 +49,22 @@ def main(argv=None) -> int:
     from ..query.location import AllPoints
 
     location = AllPoints()
-    if args.aabb and args.cell_union:
-        parser.error("--aabb and --cell_union are mutually exclusive")
+    if sum(map(bool, [args.aabb, args.cell_union, args.web_mercator_rect])) > 1:
+        parser.error("--aabb, --cell_union and --web_mercator_rect are "
+                     "mutually exclusive")
     if args.aabb:
         v = [float(x) for x in args.aabb.split(",")]
         location = Aabb(v[:3], v[3:])
+    elif args.web_mercator_rect:
+        from ..math.web_mercator import WebMercatorRect
+
+        v = args.web_mercator_rect.split(",")
+        rect = WebMercatorRect.from_zoomed_coordinates(
+            [float(v[0]), float(v[1])], [float(v[2]), float(v[3])], int(v[4])
+        )
+        if rect is None:
+            parser.error("invalid --web_mercator_rect (out of range for zoom)")
+        location = rect
     elif args.cell_union:
         from ..math.s2 import token_to_id
         from ..s2_cells.cell_union import CellUnion

@@ -6,11 +6,12 @@ One jitted f64 kernel per geometry (the x64-scoped pattern of
 xray/device_splat.py): box, OBB, frustum, S2 cell union, plus the
 attribute interval filter — each mirrors its host twin's exact operation
 sequence (math/geometry.py contains(); math/s2_device.py for the
-trig-free point->cell-id + id-range membership).  WebMercatorRect stays on
-host: its membership test runs through transcendental geodetic math
-(ecef_to_geodetic) whose libm rounding is not guaranteed to match between
-host and device — the host is the semantic reference, so that filter is
-not offloaded.
+trig-free point->cell-id + id-range membership).  WebMercatorRect — whose
+membership runs through transcendental geodetic math that device XLA does
+not reproduce bit-for-bit — goes through the hybrid exact scheme in
+math/web_mercator_device.py (device classifies with a calibrated
+conservative margin, host refines only the boundary band), so all six
+geometries run on device with bit-equal masks.
 
 `point_filter_mask` returns None when a query cannot run on device; the
 caller falls back to the host path (PointQuery.filter_batch does this
@@ -77,9 +78,25 @@ def point_filter_mask(
     JAX device, or None if this query's geometry/filters cannot run there
     (host fallback).  Bit-equal to the host mask for box/OBB/frustum +
     scalar interval filters."""
+    from ..math.web_mercator import WebMercatorRect
+
     geometry = getattr(location, "geometry", None)
+    wm_keep: Optional[np.ndarray] = None
     if isinstance(location, AllPoints):
         mask = None  # no geometric test; intervals may still apply
+    elif isinstance(location, GeometryLocation) and isinstance(
+        geometry, WebMercatorRect
+    ):
+        from ..math.web_mercator_device import rect_contains_device
+
+        try:
+            wm_keep = rect_contains_device(geometry, positions)
+        except Exception:
+            # Backend can't run the f64 transcendental kernel (calibration
+            # probe or compile failed): host fallback, like any other
+            # unsupported geometry.
+            return None
+        mask = None  # intervals (if any) still go through the kernel below
     elif isinstance(location, GeometryLocation) and isinstance(geometry, Aabb):
         mask = ("box", geometry)
     elif isinstance(location, GeometryLocation) and isinstance(geometry, Obb):
@@ -91,7 +108,7 @@ def point_filter_mask(
     elif _is_cell_union(location):
         mask = ("cell_union", location)
     else:
-        return None  # WebMercatorRect / custom: host only
+        return None  # custom location types: host only
 
     intervals = intervals or {}
     for name, interval in intervals.items():
@@ -170,4 +187,7 @@ def point_filter_mask(
                 np.array([intervals[n].upper_bound for n in names], dtype=np.float64)
             )
             keep = keep & _interval_mask(vals, lows, highs, len(names))
-        return np.asarray(keep)[:n_real]
+        result = np.asarray(keep)[:n_real]
+    if wm_keep is not None:
+        result = result & wm_keep
+    return result

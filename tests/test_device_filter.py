@@ -143,19 +143,121 @@ def test_padding_boundaries_bit_equal(points, n):
 
 
 def test_unsupported_queries_fall_back(points):
-    from point_cloud_viewer_tpu.math.web_mercator import (
-        WebMercatorCoord, WebMercatorRect,
-    )
+    class CustomLocation:
+        def contains(self, p):
+            return np.ones(len(p), dtype=bool)
 
-    rect = WebMercatorRect(
-        WebMercatorCoord(np.array([0.2, 0.2])),
-        WebMercatorCoord(np.array([0.3, 0.3])),
-    )
-    assert point_filter_mask(location_for(rect), points) is None
+        def intersects_aabbs(self, corners):
+            return np.ones(len(corners), dtype=bool)
+
+    assert point_filter_mask(CustomLocation(), points) is None
     # Missing/non-scalar filter attributes -> host handles (and raises).
     loc = location_for(_geometries()["box"])
     iv = {"missing": ClosedInterval(0.0, 1.0)}
     assert point_filter_mask(loc, points, intervals=iv, attributes={}) is None
+
+
+def _wm_rect():
+    from point_cloud_viewer_tpu.math.web_mercator import (
+        WebMercatorCoord, WebMercatorRect,
+    )
+
+    # A rect over real terrain latitudes (around 0.2-0.3 normalized is
+    # mid-northern latitudes).
+    return WebMercatorRect(
+        WebMercatorCoord(np.array([0.52, 0.30])),
+        WebMercatorCoord(np.array([0.55, 0.33])),
+    )
+
+
+def test_device_web_mercator_rect_bit_equal():
+    """The hybrid exact scheme (device classify + host boundary refine,
+    math/web_mercator_device.py) must be bit-equal to the host
+    WebMercatorRect.contains across earth-surface points."""
+    rect = _wm_rect()
+    pts = _earth_points(30_000, seed=91)
+    loc = location_for(rect)
+    host = loc.contains(pts)
+    dev = point_filter_mask(loc, pts)
+    assert dev is not None
+    np.testing.assert_array_equal(host, dev)
+    # The rect is small; make sure the fixture actually hits it.
+    inner = rect_interior_points(rect, 500)
+    host_in = loc.contains(inner)
+    dev_in = point_filter_mask(loc, inner)
+    np.testing.assert_array_equal(host_in, dev_in)
+    assert host_in.all(), "interior fixture must be inside"
+
+
+def rect_interior_points(rect, n, pad=0.1):
+    """ECEF points whose projection falls inside the rect."""
+    from point_cloud_viewer_tpu.math import wgs84
+    from point_cloud_viewer_tpu.math.web_mercator import web_mercator_to_lat_lng
+
+    rng = np.random.default_rng(3)
+    nw = rect.north_west.normalized
+    se = rect.south_east.normalized
+    uv = nw + (se - nw) * (pad + (1 - 2 * pad) * rng.random((n, 2)))
+    lat, lon = web_mercator_to_lat_lng(uv)
+    return wgs84.geodetic_to_ecef(lat, lon, rng.uniform(-100, 5000, n))
+
+
+def test_device_web_mercator_boundary_band_bit_equal():
+    """Adversarial: points landing (numerically) ON the rect edges — the
+    uncertain band that routes through the host refinement — and points a
+    hair either side of it."""
+    from point_cloud_viewer_tpu.math import wgs84
+    from point_cloud_viewer_tpu.math.web_mercator import web_mercator_to_lat_lng
+
+    rect = _wm_rect()
+    nw = rect.north_west.normalized
+    se = rect.south_east.normalized
+    edges_u = np.array([nw[0], se[0]])
+    edges_v = np.array([nw[1], se[1]])
+    rng = np.random.default_rng(17)
+    # All 4 edges x interior spans, plus corners, plus +-1e-12 nudges.
+    us = np.concatenate([
+        np.repeat(edges_u, 40),
+        rng.uniform(nw[0], se[0], 80),
+    ])
+    vs = np.concatenate([
+        rng.uniform(nw[1], se[1], 80),
+        np.repeat(edges_v, 40),
+    ])
+    for nudge in (0.0, 1e-12, -1e-12):
+        lat, lon = web_mercator_to_lat_lng(np.stack([us + nudge, vs], axis=-1))
+        pts = wgs84.geodetic_to_ecef(lat, lon, 0.0)
+        loc = location_for(rect)
+        host = loc.contains(pts)
+        dev = point_filter_mask(loc, pts)
+        np.testing.assert_array_equal(host, dev)
+
+
+def test_device_web_mercator_with_intervals_bit_equal():
+    rect = _wm_rect()
+    pts = np.concatenate(
+        [rect_interior_points(rect, 2_000), _earth_points(2_000, seed=5)]
+    )
+    rng = np.random.default_rng(9)
+    intensity = (rng.random(len(pts)) * 10.0).astype(np.float32)
+    loc = location_for(rect)
+    iv = {"intensity": ClosedInterval(2.0, 8.0)}
+    host = loc.contains(pts) & iv["intensity"].contains(intensity)
+    dev = point_filter_mask(loc, pts, intervals=iv,
+                            attributes={"intensity": intensity})
+    assert dev is not None
+    np.testing.assert_array_equal(host, dev)
+    assert 0 < host.sum() < len(pts)
+
+
+def test_web_mercator_calibrated_delta_sane():
+    """On a true-f64 backend the probe error is ~ulp; the margin must stay
+    tiny (a fat margin only costs host refinement work, but a blown-up one
+    signals a broken device projection)."""
+    from point_cloud_viewer_tpu.math.web_mercator_device import _calibrated_delta
+
+    delta = _calibrated_delta()
+    assert 1e-9 <= delta < 1e-6
 
 
 def test_client_stream_with_device_filter(tmp_path):
