@@ -232,6 +232,22 @@ def test_run_windowed_joystick_drives_camera(octree_dir):
     assert stats is not None
 
 
+def test_run_windowed_gl_path(octree_dir):
+    """The windowed loop presenting frames read back from the real GL
+    pipeline (surfaceless EGL) instead of the software rasterizer."""
+    pytest.importorskip("OpenGL")
+    backend = FakeBackend([[KeyDown("0")], [Quit()]])
+    try:
+        stats = run_windowed(octree_dir, backend=backend, width=160,
+                             height=120, cache_size_mb=10, use_gl=True)
+    except RuntimeError as e:
+        pytest.skip(f"no EGL context here: {e}")
+    assert backend.closed
+    assert len(backend.presented) == 2
+    assert backend.presented[0].shape == (120, 160, 4)
+    assert stats is not None
+
+
 def test_sdl_backend_unavailable_raises():
     from point_cloud_viewer_tpu.viewer.input import sdl_available
     from point_cloud_viewer_tpu.viewer.sdl_shell import SdlBackend
