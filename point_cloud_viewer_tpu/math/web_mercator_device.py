@@ -101,18 +101,13 @@ def rect_contains_device(rect, positions: np.ndarray) -> np.ndarray:
     Device classifies with the calibrated margin; host refines the
     uncertain band.  Raises if the backend can't run f64 (caller falls
     back to the host path)."""
+    from ..ops.tree_build import pad_rows_pow2
+
     delta = _calibrated_delta()
     pos2d = np.atleast_2d(np.asarray(positions, dtype=np.float64))
     # Pad to a power of two: one compiled program per size bucket, not per
-    # node point count (same rationale as query/device_filter.py).
-    n_real = pos2d.shape[0]
-    n_pad = max(512, 1 << (n_real - 1).bit_length()) if n_real else 0
-    if n_pad > n_real:
-        pos2d_padded = np.concatenate(
-            [pos2d, np.broadcast_to(pos2d[:1], (n_pad - n_real, 3))]
-        )
-    else:
-        pos2d_padded = pos2d
+    # node point count (shared policy with query/device_filter.py).
+    pos2d_padded, n_real = pad_rows_pow2(pos2d)
     nw = rect.north_west.normalized.reshape(2)
     se = rect.south_east.normalized.reshape(2)
     with _enable_x64(True):

@@ -9,6 +9,7 @@
 // Built as a plain shared library; Python binds via ctypes (no pybind11).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <algorithm>
 #include <atomic>
@@ -17,6 +18,19 @@
 #include <queue>
 #include <thread>
 #include <vector>
+
+// Worker-thread count: hardware_concurrency capped at `cap`, overridable
+// via PCV_NATIVE_THREADS (tests use it to exercise the multithreaded
+// paths on single-core hosts; deployments can pin it).
+static int pcv_num_threads(int cap) {
+    const char* s = std::getenv("PCV_NATIVE_THREADS");
+    if (s) {
+        const int v = std::atoi(s);
+        if (v > 0) return std::min(v, cap);
+    }
+    return std::max(
+        1, (int)std::min<int64_t>(std::thread::hardware_concurrency(), cap));
+}
 
 extern "C" {
 
@@ -82,8 +96,7 @@ static inline uint64_t spread3(uint64_t x) {
 }
 
 void morton_encode(const uint32_t* cells, int64_t n, uint64_t* out) {
-    const int num_threads =
-        (int)std::min<int64_t>(std::thread::hardware_concurrency(), 16);
+    const int num_threads = pcv_num_threads(16);
     if (n < 100000 || num_threads <= 1) {
         for (int64_t i = 0; i < n; ++i)
             out[i] = (spread3(cells[3 * i]) << 2) |
@@ -111,15 +124,16 @@ void morton_encode(const uint32_t* cells, int64_t n, uint64_t* out) {
 //  * adaptive digit width from the keys' actual bit-length: 51-bit Morton
 //    codes (the depth-17 bench resolution) sort in 3x17-bit passes instead
 //    of 4x16; small keys (the spill's 6-bit bucket ids) in ONE pass;
-//  * all pass histograms in a single read pass (histograms are
-//    permutation-invariant, so pass p's counts computed on the original
-//    array are valid after p scatters).
+//  * single-threaded only: all pass histograms in a single read pass
+//    (a GLOBAL histogram is permutation-invariant, so pass p's counts
+//    computed on the original array are valid after p scatters; the
+//    per-thread split used when multithreaded is NOT, so that path
+//    recounts each pass on the current array).
 // Constant digits (e.g. a shared bucket prefix) skip their scatter pass.
 
 void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out,
                        uint64_t* keys_out) {
-    const int num_threads = std::max(
-        1, (int)std::min<int64_t>(std::thread::hardware_concurrency(), 16));
+    const int num_threads = pcv_num_threads(16);
     const int64_t chunk = (n + num_threads - 1) / num_threads;
 
     // Bit-length of the largest key (OR-fold: only the top set bit matters).
@@ -161,28 +175,44 @@ void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out,
     uint32_t* pin = p0.data();
     uint32_t* pout = p1.data();
 
-    // ONE read pass builds every pass's per-thread histogram:
-    // hist[((pass * num_threads) + thread) * buckets + digit].
-    std::vector<int64_t> hist((size_t)passes * num_threads * buckets, 0);
-    {
-        std::vector<std::thread> threads;
-        for (int t = 0; t < num_threads; ++t) {
-            threads.emplace_back([&, t]() {
-                const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
-                for (int64_t i = lo; i < hi; ++i) {
-                    const uint64_t k = kin[i];
-                    for (int p = 0; p < passes; ++p)
-                        hist[(((size_t)p * num_threads) + t) * buckets +
-                             ((k >> (p * digit_bits)) & (buckets - 1))]++;
-                }
-            });
+    // Histograms.  Single-threaded: ONE read pass builds every pass's
+    // histogram up front — valid because a GLOBAL histogram is
+    // permutation-invariant, so pass p's counts taken on the original
+    // array still hold after p scatters.  Multithreaded: that shortcut is
+    // UNSOUND per-thread (after a scatter, thread t's chunk [t*chunk, ..)
+    // holds different elements than it counted), so each pass counts its
+    // own digits on the CURRENT array before scattering.
+    const bool fused_hist = num_threads <= 1;
+    std::vector<int64_t> hist(
+        (size_t)(fused_hist ? passes : num_threads) * buckets, 0);
+    if (fused_hist) {
+        for (int64_t i = 0; i < n; ++i) {
+            const uint64_t k = kin[i];
+            for (int p = 0; p < passes; ++p)
+                hist[(size_t)p * buckets +
+                     ((k >> (p * digit_bits)) & (buckets - 1))]++;
         }
-        for (auto& th : threads) th.join();
     }
 
     for (int pass = 0; pass < passes; ++pass) {
         const int shift = pass * digit_bits;
-        int64_t* ph = hist.data() + (size_t)pass * num_threads * buckets;
+        int64_t* ph;
+        if (fused_hist) {
+            ph = hist.data() + (size_t)pass * buckets;
+        } else {
+            std::fill(hist.begin(), hist.end(), 0);
+            std::vector<std::thread> threads;
+            for (int t = 0; t < num_threads; ++t) {
+                threads.emplace_back([&, t]() {
+                    int64_t* h = hist.data() + (size_t)t * buckets;
+                    const int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+                    for (int64_t i = lo; i < hi; ++i)
+                        h[(kin[i] >> shift) & (buckets - 1)]++;
+                });
+            }
+            for (auto& th : threads) th.join();
+            ph = hist.data();
+        }
         // Skip constant digits (e.g. the shared prefix of one spill
         // bucket's codes).
         int nonzero = 0;

@@ -78,6 +78,8 @@ class _BucketSpill:
             ]
         from .. import native
 
+        if len(bucket_ids) == 0:  # e.g. a reader's trailing empty chunk
+            return
         # Bucket ids are small ints; the native radix argsort skips the
         # constant high digits, so this is ~1 counting pass.
         _, order = morton.argsort_codes(bucket_ids.astype(np.uint64))

@@ -518,6 +518,22 @@ def pad_codes_pow2(hi, lo):
     return hi, lo, n
 
 
+def pad_rows_pow2(arr, floor: int = 512):
+    """Pad a host array's leading axis to the next power of two (>= floor)
+    by repeating row 0 — the compile-bucketing policy for per-row device
+    kernels (one compiled program per size bucket, not per distinct node
+    point count).  Row 0's duplicates are inert for pure per-row kernels;
+    the caller slices the result back to real_n.  Returns (padded, real_n)."""
+    import numpy as np
+
+    n = int(arr.shape[0])
+    n_pad = max(floor, 1 << (n - 1).bit_length()) if n else 0
+    if n_pad > n:
+        pad = np.broadcast_to(arr[:1], (n_pad - n,) + arr.shape[1:])
+        arr = np.concatenate([arr, pad])
+    return arr, n
+
+
 def tree_codes_on_device_padded(
     hi, lo, depth, max_split_level,
     max_points_per_node: int = MAX_POINTS_PER_NODE,

@@ -118,24 +118,32 @@ def point_filter_mask(
         if not np.issubdtype(np.asarray(data).dtype, np.number):
             return None
 
+    if mask is None and not intervals:
+        # Nothing left to compute on device: for WebMercatorRect the hybrid
+        # mask is already in hand (uploading positions again just to AND
+        # with all-ones would double the relay transfer); for AllPoints the
+        # answer is trivially all-ones.
+        if wm_keep is not None:
+            return wm_keep
+        return np.ones(np.atleast_2d(positions).shape[0], dtype=bool)
+
     # Pad the batch to the next power of two: node point counts are all
     # distinct, and jit compiles one program PER SHAPE — unpadded, a
     # stream over K nodes pays K compiles (minutes each through a remote
     # relay).  Padding rows duplicate row 0; their mask values are sliced
     # off below, and row 0's own result is unaffected (pure per-point
     # kernels).
-    pos2d = np.atleast_2d(positions)
-    n_real = pos2d.shape[0]
-    n_pad = max(512, 1 << (n_real - 1).bit_length()) if n_real else 0
-    if n_pad > n_real:
-        pos2d = np.concatenate(
-            [pos2d, np.broadcast_to(pos2d[:1], (n_pad - n_real, 3))]
-        )
+    from ..ops.tree_build import pad_rows_pow2
+
+    pos2d, n_real = pad_rows_pow2(np.atleast_2d(positions))
+    n_pad = pos2d.shape[0]
 
     with _enable_x64(True):
-        p = jnp.asarray(pos2d, dtype=jnp.float64)
+        keep = None
+        if mask is not None:
+            p = jnp.asarray(pos2d, dtype=jnp.float64)
         if mask is None:
-            keep = jnp.ones(p.shape[0], dtype=bool)
+            pass  # intervals only: positions never leave the host
         elif mask[0] == "box":
             g = mask[1]
             keep = _box_mask(
@@ -186,7 +194,8 @@ def point_filter_mask(
             highs = jnp.asarray(
                 np.array([intervals[n].upper_bound for n in names], dtype=np.float64)
             )
-            keep = keep & _interval_mask(vals, lows, highs, len(names))
+            im = _interval_mask(vals, lows, highs, len(names))
+            keep = im if keep is None else keep & im
         result = np.asarray(keep)[:n_real]
     if wm_keep is not None:
         result = result & wm_keep

@@ -93,6 +93,13 @@ class GlPointCloudRenderer(PointCloudRenderer):
             renderer=self.gl_renderer,
         )
 
+    def resize(self, width: int, height: int) -> None:
+        """Resize the camera target AND the GL framebuffer (kept in sync:
+        drawing into a stale-sized FBO while the camera projects with the
+        new aspect would distort the output)."""
+        super().resize(width, height)
+        self.ctx.resize(width, height)
+
     def draw(self, world_to_gl: np.ndarray, moving: bool = False,
              render: bool = False) -> Tuple[FrameStats, Optional[np.ndarray]]:
         self.node_views.consume_arrived()

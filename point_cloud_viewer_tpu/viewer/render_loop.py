@@ -243,6 +243,11 @@ class PointCloudRenderer:
                 self.node_views.max_nodes, int(self.max_nodes_moving * 1.1) + 1
             )
 
+    def resize(self, width: int, height: int) -> None:
+        """Window size changed (reference lib.rs:581-586 -> set_size)."""
+        self.width = width
+        self.height = height
+
     # -- drawing ------------------------------------------------------------
 
     def draw(

@@ -116,6 +116,10 @@ def dispatch_event(
                 if state is not None:
                     camera.set_state(state)
             return True
+        if event.shift:
+            # Reference gates the unmodified bindings on keymod.is_empty()
+            # (lib.rs:489): SHIFT+W / SHIFT+7 etc. must do nothing.
+            return True
         key = event.key
         if key == "escape":
             return False
@@ -161,8 +165,7 @@ def dispatch_event(
         return True
     if isinstance(event, Resize):  # lib.rs:581-586
         camera.set_size(event.width, event.height)
-        renderer.width = event.width
-        renderer.height = event.height
+        renderer.resize(event.width, event.height)
         return True
     return True
 
@@ -230,10 +233,15 @@ def run_windowed(
                 mapping.act(camera, axes_fn())
             now = time.perf_counter()
             elapsed, last = now - last, now
-            if camera.update(elapsed):  # lib.rs:592-599
+            moved = camera.update(elapsed)  # lib.rs:592-599
+            if moved:
                 renderer.camera_changed(camera.world_to_gl())
+            # moving=moved engages the reduced-LOD budget while navigating
+            # (max_nodes_moving cap + point_size_lod prefix), the state the
+            # adapt_budget FPS feedback below adjusts — same contract as
+            # run_headless (render_loop.py) and the reference's draw().
             stats, image = renderer.draw(
-                camera.world_to_gl(), moving=False, render=True
+                camera.world_to_gl(), moving=moved, render=True
             )
             if image is not None:
                 backend.present(image)

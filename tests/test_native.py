@@ -32,6 +32,30 @@ def test_native_radix_argsort_matches_numpy(nat):
     np.testing.assert_array_equal(sorted_keys, keys[expected_perm])
 
 
+def test_native_radix_argsort_multithreaded(nat, monkeypatch):
+    """Force the multithreaded path (this host has 1 core, so without the
+    override it never runs): per-pass recounted histograms must still give a
+    stable, correct sort for multi-pass keys, including duplicate-heavy and
+    constant-digit (shared-prefix) inputs."""
+    monkeypatch.setenv("PCV_NATIVE_THREADS", "4")
+    rng = np.random.default_rng(7)
+    cases = [
+        # 51-bit Morton-like keys, n not divisible by the thread count.
+        rng.integers(0, 2**51, 100_003, dtype=np.int64).astype(np.uint64),
+        # Shared high prefix (constant top digits -> skipped passes).
+        (np.uint64(0x3F) << np.uint64(45))
+        | rng.integers(0, 2**20, 64_001, dtype=np.int64).astype(np.uint64),
+        # Tiny input (n < threads).
+        rng.integers(0, 2**51, 3, dtype=np.int64).astype(np.uint64),
+    ]
+    cases[0][::13] = cases[0][1]  # duplicates exercise stability
+    for keys in cases:
+        sorted_keys, perm = nat.radix_argsort_u64(keys)
+        expected_perm = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(perm, expected_perm)
+        np.testing.assert_array_equal(sorted_keys, keys[expected_perm])
+
+
 @pytest.mark.parametrize("dtype,enc", [(np.uint8, codec.PositionEncoding.UINT8),
                                        (np.uint16, codec.PositionEncoding.UINT16)])
 def test_native_codec_matches_numpy(nat, dtype, enc):

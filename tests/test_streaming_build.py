@@ -83,6 +83,23 @@ def test_streaming_matches_memory_batched_input(tmp_path):
     _compare(tmp_path, batch, 0.01, batches=batches)
 
 
+def test_streaming_empty_batch_in_stream(tmp_path):
+    """A reader may yield a zero-length trailing chunk; the spill pass must
+    skip it (regression: the run-boundary scan indexed an empty array)."""
+    rng = np.random.default_rng(11)
+    n = 20_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 10.0,
+        attributes={"color": rng.integers(0, 255, (n, 3), dtype=np.uint8)},
+    )
+    empty = PointsBatch(
+        position=np.zeros((0, 3)),
+        attributes={"color": np.zeros((0, 3), dtype=np.uint8)},
+    )
+    batches = [empty, batch.slice(0, n // 2), empty, batch.slice(n // 2, n), empty]
+    _compare(tmp_path, batch, 0.01, batches=batches)
+
+
 def test_streaming_small_and_single(tmp_path):
     batch = PointsBatch(
         position=np.array([[1.0, 2.0, 3.0], [1.1, 2.1, 3.1]]),
