@@ -691,7 +691,6 @@ def _discover_levels(
     leaves_per_level: Dict[int, List[Tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
     # Currently-split nodes: ranges + paths.
     split_paths = np.zeros(1, dtype=np.uint64)
-    split_starts = np.zeros(1, dtype=np.int64)
     split_ends = np.full(1, n, dtype=np.int64)
 
     leaf_acc: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
@@ -724,7 +723,6 @@ def _discover_levels(
 
         splitting = nonempty & ~is_leaf
         split_paths = child_paths.ravel()[splitting]
-        split_starts = starts[splitting]
         split_ends = ends[splitting]
         if len(split_paths) == 0:
             break
@@ -989,10 +987,24 @@ def _write_levels(
     (prefix.level + level) — the deep-subtree writer for trees past the
     u64 code budget (cube subdivision and per-level encodings stay exact:
     both are powers-of-two divisions of the same f64 root edge)."""
+    pool = ThreadPoolExecutor(max_workers=min(32, max(4, os.cpu_count() or 4)))
+    try:
+        return _write_levels_pooled(
+            pool, directory, batch, order, final_nodes, root_cube,
+            resolution, prefix,
+        )
+    finally:
+        # An encode/IO error (e.g. ENOSPC from f.result()) must not leak
+        # the pool's worker threads or keep queued writes running.
+        pool.shutdown(wait=True, cancel_futures=True)
+
+
+def _write_levels_pooled(
+    pool, directory, batch, order, final_nodes, root_cube, resolution, prefix,
+):
     from .. import native
 
     recorded: List[Tuple[NodeId, int]] = []
-    pool = ThreadPoolExecutor(max_workers=min(32, max(4, os.cpu_count() or 4)))
     order = np.asarray(order, dtype=np.int64)
     pending_futures: list = []
     for level in sorted(final_nodes):
@@ -1063,7 +1075,6 @@ def _write_levels(
             node_start = node_end
     for f in pending_futures:
         f.result()
-    pool.shutdown()
     return recorded
 
 

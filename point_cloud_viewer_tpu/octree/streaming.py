@@ -182,12 +182,32 @@ def build_octree_streaming(
 
     os.makedirs(output_directory, exist_ok=True)
 
+    if (
+        bounding_box is None
+        and not isinstance(data, PointsBatch)
+        and iter(data) is data
+    ):
+        # A one-shot iterator would be exhausted by the bbox pass and the
+        # spill pass would then see nothing — a silently empty octree.
+        raise ValueError(
+            "data is a one-shot iterator: pass bounding_box= explicitly or "
+            "provide a re-iterable input (the stream is read twice)"
+        )
+
     if bounding_box is None:
         if isinstance(data, PointsBatch):
             bounding_box = Aabb.bounding_points(data.position)
         else:
             bounding_box = None
             for b in _iter_batches(data):
+                if attributes is not None and bounding_box is None:
+                    # First batch: fail a typo'd attribute name before the
+                    # (potentially hours-long) bbox + spill passes.
+                    missing = [a for a in attributes if a not in b.attributes]
+                    if missing:
+                        raise ValueError(
+                            f"requested attributes not in input: {missing}"
+                        )
                 bb = Aabb.bounding_points(b.position)
                 if bounding_box is None:
                     bounding_box = bb
@@ -269,6 +289,14 @@ def build_octree_streaming(
         with _timed_phase(phase_times, "spill"):
             for batch in _iter_batches(data):
                 if attributes is not None:
+                    # Same up-front error as build_octree (builder.py): a
+                    # typo'd name must not surface as a bare KeyError after
+                    # a potentially hours-long bbox pass.
+                    missing = [a for a in attributes if a not in batch.attributes]
+                    if missing:
+                        raise ValueError(
+                            f"requested attributes not in input: {missing}"
+                        )
                     batch = PointsBatch(
                         position=batch.position,
                         attributes={a: batch.attributes[a] for a in attributes},

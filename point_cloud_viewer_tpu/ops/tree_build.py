@@ -42,19 +42,6 @@ class DeviceTreeResult(NamedTuple):
     t_norm: jnp.ndarray  # (N, 3) f32 node-normalized coordinates in [0,1)
 
 
-def _segment_starts(hi: jnp.ndarray, lo: jnp.ndarray, shift: int) -> jnp.ndarray:
-    """Boolean (N,): True where the level prefix (code >> shift) changes."""
-    if shift >= 32:
-        p = hi >> jnp.uint32(shift - 32)
-        prev = jnp.concatenate([p[:1] ^ jnp.uint32(1), p[:-1]])
-        return p != prev
-    ph = hi if shift == 0 else hi  # hi bits always in prefix when shift < 32
-    pl = (lo >> jnp.uint32(shift)) | (hi << jnp.uint32(32 - shift)) if shift > 0 else lo
-    prev_h = jnp.concatenate([ph[:1] ^ jnp.uint32(1), ph[:-1]])
-    prev_l = jnp.concatenate([pl[:1] ^ jnp.uint32(1), pl[:-1]])
-    return (ph != prev_h) | (pl != prev_l)
-
-
 # XLA lowers a flat N-element scan as O(log2 N) shifted-select passes
 # (~27 full-array passes at 128M).  A blocked two-phase scan — inner scan
 # along a 256-wide minor axis (8 passes) + a tiny row-prefix scan +
@@ -140,8 +127,6 @@ def _scan(x: jnp.ndarray, kind: str, reverse: bool = False) -> jnp.ndarray:
 def _segmented_rank(active: jnp.ndarray, seg_starts: jnp.ndarray) -> jnp.ndarray:
     """Rank of each active element among active elements of its segment."""
     c = _scan(active.astype(jnp.int32), "sum")
-    n = active.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     # cumsum value just before the segment start
     base = _scan(
         jnp.where(seg_starts, c - active.astype(jnp.int32), 0), "max"

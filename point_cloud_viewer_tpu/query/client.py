@@ -41,12 +41,25 @@ class _Rebatcher:
         self.parts.append(batch)
         self.buffered += len(batch)
         while self.buffered >= self.batch_size:
-            merged = PointsBatch.concatenate(self.parts)
-            head = merged
-            tail = head.split_off(self.batch_size)
-            self.parts = [tail] if len(tail) else []
-            self.buffered = len(tail)
-            self.emit(head)
+            # Consume whole parts up to the boundary and split only the
+            # straddling one: the tail is never re-copied, so one large
+            # input batch costs O(T) row copies total, not O(T^2/batch).
+            take: List[PointsBatch] = []
+            need = self.batch_size
+            while need > 0:
+                part = self.parts[0]
+                if len(part) <= need:
+                    take.append(self.parts.pop(0))
+                    need -= len(part)
+                else:
+                    tail = part.split_off(need)
+                    take.append(self.parts[0])
+                    self.parts[0] = tail
+                    need = 0
+            self.buffered -= self.batch_size
+            self.emit(
+                take[0] if len(take) == 1 else PointsBatch.concatenate(take)
+            )
 
     def flush(self) -> None:
         if self.buffered:

@@ -142,3 +142,33 @@ def test_stream_is_lazy_and_cancellable(cloud):
         PointQuery(attributes=["color"], location=AllPoints())
     ))
     assert total == len(batch)
+
+
+def test_rebatcher_exact_and_order_preserving():
+    """_Rebatcher must emit exact batch_size chunks in input order for any
+    mix of part sizes (incl. one giant input batch — the path that used to
+    re-copy the tail per emitted batch) and flush the remainder."""
+    from point_cloud_viewer_tpu.query.client import _Rebatcher
+
+    rng = np.random.default_rng(21)
+    for sizes in ([250_000], [7, 3, 99_990], [1] * 25, [13, 250_001, 5, 0, 981]):
+        out = []
+        rb = _Rebatcher(10_000, out.append)
+        chunks = []
+        offset = 0
+        for s in sizes:
+            idx = np.arange(offset, offset + s, dtype=np.float64)
+            chunks.append(idx)
+            offset += s
+            rb.push(PointsBatch(
+                position=np.stack([idx, idx, idx], axis=1),
+                attributes={"v": idx.astype(np.float32)},
+            ))
+        rb.flush()
+        total = int(sum(sizes))
+        assert [len(b) for b in out[:-1]] == [10_000] * (len(out) - 1 if total else 0)
+        assert sum(len(b) for b in out) == total
+        got = np.concatenate([b.position[:, 0] for b in out]) if out else np.empty(0)
+        np.testing.assert_array_equal(got, np.arange(total, dtype=np.float64))
+        gotv = np.concatenate([b.attributes["v"] for b in out]) if out else np.empty(0)
+        np.testing.assert_array_equal(gotv, np.arange(total, dtype=np.float32))

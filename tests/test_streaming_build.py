@@ -108,6 +108,40 @@ def test_streaming_small_and_single(tmp_path):
     _compare(tmp_path, batch, 0.01)
 
 
+def test_streaming_one_shot_iterator_without_bbox_raises(tmp_path):
+    """A generator (one-shot) with no bounding_box would be exhausted by the
+    bbox pass and silently build an EMPTY octree; it must raise instead."""
+    rng = np.random.default_rng(12)
+    batch = PointsBatch(position=rng.random((1000, 3)))
+    with pytest.raises(ValueError, match="one-shot iterator"):
+        build_octree_streaming(
+            str(tmp_path / "out"), 0.01, (b for b in [batch])
+        )
+
+
+def test_streaming_unknown_attribute_fails_before_spill(tmp_path):
+    """A typo'd attribute name must raise the same clear ValueError as
+    build_octree, on the FIRST batch — not a KeyError after the bbox pass."""
+    rng = np.random.default_rng(13)
+    batch = PointsBatch(
+        position=rng.random((1000, 3)),
+        attributes={"color": rng.integers(0, 255, (1000, 3), dtype=np.uint8)},
+    )
+    with pytest.raises(ValueError, match="requested attributes not in input"):
+        build_octree_streaming(
+            str(tmp_path / "out"), 0.01, [batch], attributes=["colr"]
+        )
+    # Same check when the bbox is supplied (no pass 1).
+    from point_cloud_viewer_tpu.math.geometry import Aabb
+
+    with pytest.raises(ValueError, match="requested attributes not in input"):
+        build_octree_streaming(
+            str(tmp_path / "out2"), 0.01, [batch],
+            bounding_box=Aabb.bounding_points(batch.position),
+            attributes=["colr"],
+        )
+
+
 def test_streaming_bucket_levels_variants(tmp_path):
     rng = np.random.default_rng(3)
     n = 150_000
