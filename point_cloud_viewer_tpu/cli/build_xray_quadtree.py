@@ -46,6 +46,11 @@ def main(argv=None) -> int:
     parser.add_argument("--max_intensity", type=float, default=1.0e5)
     parser.add_argument("--max_stddev", type=float, default=1.0)
     parser.add_argument(
+        "--colormap", choices=["jet", "purplish"], default="jet",
+        help="Value->color map for colored_with_height_stddev "
+        "(reference build_quadtree.rs:67-72).",
+    )
+    parser.add_argument(
         "--tile_background_color", type=_parse_color, default=(255, 255, 255, 255)
     )
     parser.add_argument(
@@ -106,7 +111,7 @@ def main(argv=None) -> int:
     if args.coloring_strategy == "colored_with_intensity":
         kwargs = {"min_intensity": args.min_intensity, "max_intensity": args.max_intensity}
     elif args.coloring_strategy == "colored_with_height_stddev":
-        kwargs = {"max_stddev": args.max_stddev}
+        kwargs = {"max_stddev": args.max_stddev, "colormap": args.colormap}
     if args.binning is not None:
         name, size = args.binning
         kwargs["binning"] = (name, float(size))

@@ -41,6 +41,13 @@ _PLY_DTYPES = {
     "double": "f8", "float64": "f8",
 }
 
+# Inverse of _PLY_DTYPES for writing (canonical PLY names).
+_PLY_TYPE_NAMES = {
+    "u1": "uchar", "u2": "ushort", "u4": "uint", "u8": "ulonglong",
+    "i1": "char", "i2": "short", "i4": "int", "i8": "longlong",
+    "f4": "float", "f8": "double",
+}
+
 _COLOR_CHANNELS = {"r": 0, "red": 0, "g": 1, "green": 1, "b": 2, "blue": 2}
 # Scalar attribute dtypes kept when reading (others are skipped with a warning).
 _KEPT_ATTR_DTYPES = {"u1", "u8", "i8", "f4", "f8"}
@@ -135,6 +142,15 @@ class PlyReader:
             if name in ("x", "y", "z", "a", "alpha"):
                 continue
             if name in _COLOR_CHANNELS:
+                if dtype != "u1":
+                    # The reference accepts only u8 color channels and
+                    # fails loudly otherwise (read_write/ply.rs:467-469);
+                    # casting a float/wide-int channel into u8 would
+                    # silently corrupt colors.
+                    raise ValueError(
+                        f"PLY color property {name!r} must be uchar, "
+                        f"got {dtype!r}"
+                    )
                 if color is None:
                     color = np.zeros((len(rows), 3), dtype=np.uint8)
                 color[:, _COLOR_CHANNELS[name]] = cols[name]
@@ -192,7 +208,7 @@ class PlyStreamWriter:
     def __init__(self, path: str, append: bool = False) -> None:
         self.path = path
         self.count = 0
-        self._fields = None
+        self._schema = None  # [(prop name, dtype code)] incl. x/y/z
         self._count_pos = None
         if append and os.path.exists(path) and os.path.getsize(path) > 0:
             self._open_existing()
@@ -202,6 +218,11 @@ class PlyStreamWriter:
     def _open_existing(self) -> None:
         with open(self.path, "rb") as f:
             header = parse_header(f)
+        if header.fmt != "binary_little_endian":
+            raise ValueError(
+                f"can only append to binary_little_endian PLYs, "
+                f"file is {header.fmt}"
+            )
         self._file = open(self.path, "r+b")
         self._file.seek(0, 2)  # append at end
         self.count = header.num_vertices
@@ -210,12 +231,38 @@ class PlyStreamWriter:
         marker = "element vertex "
         i = head.index(marker) + len(marker)
         self._count_pos = i
-        # Schema comes from the header.
-        self._fields = None  # validated lazily on first write
+        # Batches must match the existing header's property layout exactly,
+        # else the body desynchronizes from the declared record format.
+        self._schema = list(header.properties)
+
+    @staticmethod
+    def _batch_props(batch: PointsBatch):
+        """Property list (name, dtype code) a batch's records produce —
+        the layout _write_header declares and write() emits."""
+        props = [("x", "f8"), ("y", "f8"), ("z", "f8")]
+        for name, arr in batch.attributes.items():
+            code = np.dtype(arr.dtype).str.lstrip("<>=|")
+            if arr.ndim == 2:
+                channels = (
+                    ["red", "green", "blue", "alpha"][: arr.shape[1]]
+                    if name == "color"
+                    else [f"{name}{i}" for i in range(arr.shape[1])]
+                )
+                props += [(c, code) for c in channels]
+            else:
+                props.append((name, code))
+        return props
 
     def write(self, batch: PointsBatch) -> None:
-        if self._fields is None and self.count == 0 and self._count_pos is None:
+        props = self._batch_props(batch)
+        if self._schema is None:
             self._write_header(batch)
+            self._schema = props
+        elif props != self._schema:
+            raise ValueError(
+                f"batch schema {props} does not match the PLY header "
+                f"{self._schema}"
+            )
         rec = np.rec.fromarrays(
             [batch.position[:, 0].astype("<f8"),
              batch.position[:, 1].astype("<f8"),
@@ -234,31 +281,17 @@ class PlyStreamWriter:
         self.count += len(batch)
 
     def _write_header(self, batch: PointsBatch) -> None:
-        inv = {
-            "u1": "uchar", "u2": "ushort", "u4": "uint", "u8": "ulonglong",
-            "i1": "char", "i2": "short", "i4": "int", "i8": "longlong",
-            "f4": "float", "f8": "double",
-        }
         lines = ["ply", "format binary_little_endian 1.0"]
         count_line = "element vertex "
         lines.append(count_line + "0".zfill(self._COUNT_WIDTH))
-        props = ["property double x", "property double y", "property double z"]
-        for name, arr in batch.attributes.items():
-            d = inv[np.dtype(arr.dtype).str.lstrip("<>=|")]
-            if arr.ndim == 2:
-                channels = (
-                    ["red", "green", "blue", "alpha"][: arr.shape[1]]
-                    if name == "color"
-                    else [f"{name}{i}" for i in range(arr.shape[1])]
-                )
-                props += [f"property {d} {c}" for c in channels]
-            else:
-                props.append(f"property {d} {name}")
+        props = [
+            f"property {_PLY_TYPE_NAMES[code]} {name}"
+            for name, code in self._batch_props(batch)
+        ]
         header = "\n".join(lines + props + ["end_header"]) + "\n"
         prefix = "\n".join(lines[:2]) + "\n" + count_line
         self._count_pos = len(prefix)
         self._file.write(header.encode("ascii"))
-        self._fields = True
 
     def close(self) -> None:
         if self._count_pos is not None:
@@ -287,13 +320,8 @@ def write_ply(path: str, batch: PointsBatch, offset: Optional[np.ndarray] = None
         ("y", "double", position[:, 1].astype("<f8")),
         ("z", "double", position[:, 2].astype("<f8")),
     ]
-    inv_dtypes = {
-        "u1": "uchar", "u2": "ushort", "u4": "uint", "u8": "ulonglong",
-        "i1": "char", "i2": "short", "i4": "int", "i8": "longlong",
-        "f4": "float", "f8": "double",
-    }
     for name, arr in batch.attributes.items():
-        dstr = inv_dtypes[np.dtype(arr.dtype).str.lstrip("<>=|")]
+        dstr = _PLY_TYPE_NAMES[np.dtype(arr.dtype).str.lstrip("<>=|")]
         if arr.ndim == 2:
             if name == "color":
                 channel_names = ["red", "green", "blue", "alpha"]

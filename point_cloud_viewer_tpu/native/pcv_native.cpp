@@ -688,15 +688,20 @@ static void cull_lod_select_impl(const F* matrix, const F* axes, const F* qmin,
         priority[i] = vis ? size : std::numeric_limits<F>::lowest();
     }
     for (int64_t i = 0; i < k; ++i) order_out[i] = (int32_t)i;
+    // Index tie-break makes the order TOTAL, so partial_sort emits the
+    // same stable order as stable_sort (ties are common: fully-covering
+    // nodes all clamp to area 4, culled nodes all share lowest()) — the
+    // top-K set/order must match the flat and device paths exactly.
     const auto cmp = [&](int32_t x, int32_t y) {
-        return priority[x] > priority[y];
+        if (priority[x] != priority[y]) return priority[x] > priority[y];
+        return x < y;
     };
     if (max_out > 0 && max_out < k) {
         // Viewers draw at most a node budget per frame: a top-K partial
         // sort is O(N log K) instead of a full O(N log N) ordering.
         std::partial_sort(order_out, order_out + max_out, order_out + k, cmp);
     } else {
-        std::stable_sort(order_out, order_out + k, cmp);
+        std::sort(order_out, order_out + k, cmp);
     }
 }
 

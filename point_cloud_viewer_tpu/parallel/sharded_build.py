@@ -254,6 +254,9 @@ def sharded_morton_sort(
     count, final capacity factor, and last overflow."""
     n = len(cells)
     n_shards = mesh.devices.size
+    if n == 0:
+        # padded=0 would make the shard-stride arange step zero.
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
     padded = -(-n // n_shards) * n_shards
     cells_padded = np.full((padded, 3), (1 << depth) - 1, dtype=np.uint32)
     cells_padded[:n] = cells
@@ -424,6 +427,12 @@ def sharded_tree_levels(
     n = len(codes)
     n_shards = mesh.devices.size
     assert n < 0xFFFFFFFF, "u32 point indices: sharded build caps at 2^32-1 points"
+    if n == 0:
+        # padded=0 would make the shard-stride arange step zero.
+        return [
+            (np.empty(0, np.int64), np.empty(0, np.uint8), np.empty(0, np.uint8))
+            for _ in range(n_shards)
+        ]
     padded = -(-n // n_shards) * n_shards
     pad_code = np.uint64(1) << np.uint64(3 * depth)
     codes_p = np.full(padded, pad_code, dtype=np.uint64)

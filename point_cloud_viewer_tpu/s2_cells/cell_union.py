@@ -22,15 +22,25 @@ class CellUnion:
     """A normalized union of S2 cells."""
 
     def __init__(self, cell_ids: Sequence[int]) -> None:
-        ids = np.array(sorted(int(c) for c in cell_ids), dtype=np.uint64)
-        # Normalize: drop cells contained in another cell of the union.
-        keep = []
-        last_max = -1
+        ids = sorted(int(c) for c in cell_ids)
+        # Normalize: drop cells contained in another cell of the union
+        # (s2geometry CellUnion::Normalize).  Ids sort by leaf position, so
+        # a parent's id sits in the MIDDLE of its range — a child from the
+        # lower half sorts BEFORE its parent.  Containment must therefore
+        # be checked BOTH ways: skip a new cell contained in the last kept
+        # one, and pop kept cells contained in the new one (only tail cells
+        # can be: any earlier container would already have absorbed them).
+        keep: list = []
+        keep_hi: list = []
         for cid in ids:
             lo, hi = int(s2.range_min(cid)), int(s2.range_max(cid))
-            if lo > last_max:
-                keep.append(cid)
-                last_max = hi
+            if keep and cid <= keep_hi[-1]:
+                continue  # contained in (or equal to) the last kept cell
+            while keep and lo <= keep[-1]:
+                keep.pop()  # kept tail cell is contained in this one
+                keep_hi.pop()
+            keep.append(cid)
+            keep_hi.append(hi)
         self.ids = np.array(keep, dtype=np.uint64)
         self._range_min = s2.range_min(self.ids)
         self._range_max = s2.range_max(self.ids)

@@ -140,6 +140,10 @@ class _MeanOverBinsStrategy(ColoringStrategy):
 
     def _accumulate(self, batch, bbox, image_size, values) -> None:
         pix, _, idx = discretize(batch.position, bbox, image_size)
+        if len(idx) == 0:
+            # reshape(0, -1) cannot infer the trailing axis; a batch with
+            # no in-bounds points simply contributes nothing.
+            return
         self._pix.append(pix)
         self._bin.append(_binning_values(batch, self.binning, idx))
         self._val.append(np.atleast_2d(values[idx].reshape(len(idx), -1)))
@@ -346,7 +350,12 @@ def make_strategy(kind: str, **kwargs) -> ColoringStrategy:
             device=device,
         )
     if kind == "colored_with_height_stddev":
+        # Colormap selection mirrors the reference CLI's --colormap
+        # (default jet; xray/src/build_quadtree.rs:67-72, 160-167).
+        colormap = kwargs.get("colormap", "jet")
+        if isinstance(colormap, str):
+            colormap = {"jet": cm.jet, "purplish": cm.monochrome}[colormap]
         return HeightStddevStrategy(
-            kwargs.get("max_stddev", 1.0), device=device
+            kwargs.get("max_stddev", 1.0), colormap=colormap, device=device
         )
     raise ValueError(f"unknown coloring strategy {kind!r}")

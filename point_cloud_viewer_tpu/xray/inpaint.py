@@ -7,9 +7,12 @@ Pipeline preserved from the reference:
 2. holes are detected by a morphological close (LInf, radius
    inpaint_distance_px) on the alpha channel — only holes up to that radius
    are filled, open borders stay transparent,
-3. the fill itself: the reference runs a texture-synthesis session; here a
-   masked diffusion fill (iterative neighbor averaging of valid pixels)
-   produces smooth hole filling with no heavyweight dependency,
+3. the fill itself: the reference runs a texture-synthesis session
+   (inpaint.rs:24-44); here `patchmatch_fill` — a PatchMatch-style
+   nearest-patch synthesis — fills holes with copied texture, the same
+   family of algorithm without the heavyweight dependency
+   (`diffusion_fill`, a smooth neighbor-averaging alternative, is kept
+   for comparison/tests but is not used by `inpaint_image`),
 4. overlapping inpainted tiles are blended with linear interpolation along
    the right/bottom seams, scheduled in an even/odd checkerboard so no two
    neighbors are written concurrently (inpaint.rs:237-255),

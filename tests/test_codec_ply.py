@@ -160,6 +160,56 @@ def test_ply_stream_writer_append(tmp_path):
     np.testing.assert_allclose(back.position[50:], b2.position)
 
 
+def test_ply_stream_writer_rejects_schema_mismatch(tmp_path):
+    """A batch whose record layout differs from the file's declared header
+    must raise — on a later write AND on append — instead of silently
+    desynchronizing the body from the property list."""
+    from point_cloud_viewer_tpu.io.ply import PlyStreamWriter
+
+    rng = np.random.default_rng(11)
+    path = str(tmp_path / "schema.ply")
+    with_color = PointsBatch(
+        position=rng.random((10, 3)),
+        attributes={"color": rng.integers(0, 255, (10, 3), dtype=np.uint8)},
+    )
+    plain = PointsBatch(position=rng.random((10, 3)))
+    with_f32 = PointsBatch(
+        position=rng.random((10, 3)),
+        attributes={"intensity": rng.random(10).astype(np.float32)},
+    )
+    with PlyStreamWriter(path) as w:
+        w.write(with_color)
+        with pytest.raises(ValueError, match="does not match"):
+            w.write(plain)
+        w.write(with_color)  # matching batches still fine
+    with PlyStreamWriter(path, append=True) as w:
+        with pytest.raises(ValueError, match="does not match"):
+            w.write(with_f32)
+        w.write(with_color)
+    back = PlyReader(path).read_all()
+    assert len(back) == 30 and set(back.attributes) == {"color"}
+
+
+def test_ply_reader_rejects_non_u8_color(tmp_path):
+    """The reference only accepts uchar r/g/b (read_write/ply.rs:467-469);
+    a float color channel must raise, not silently truncate into u8."""
+    path = str(tmp_path / "floatcolor.ply")
+    header = (
+        "ply\nformat binary_little_endian 1.0\nelement vertex 2\n"
+        "property double x\nproperty double y\nproperty double z\n"
+        "property float red\nproperty float green\nproperty float blue\n"
+        "end_header\n"
+    )
+    rec = np.zeros(2, dtype=[("x", "<f8"), ("y", "<f8"), ("z", "<f8"),
+                             ("r", "<f4"), ("g", "<f4"), ("b", "<f4")])
+    rec["r"] = [0.25, 0.75]
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(rec.tobytes())
+    with pytest.raises(ValueError, match="must be uchar"):
+        PlyReader(path).read_all()
+
+
 def test_export_ply_cli(tmp_path, capsys):
     from point_cloud_viewer_tpu.cli import build_octree as cli_build
     from point_cloud_viewer_tpu.cli import export_ply as cli_export

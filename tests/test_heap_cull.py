@@ -127,3 +127,35 @@ def test_heap_index_refuses_invalid_tree():
     octree._heap = None
     octree._build_heap_index()
     assert octree._heap is None
+
+
+@pytest.mark.skipif(not native.available(), reason="native library required")
+@pytest.mark.parametrize("budget", [16, 500])
+def test_flat_topk_tie_order_matches_full_sort(valid_tree, budget):
+    """cull_lod_select's top-K partial sort must emit EXACTLY the stable
+    full-sort prefix, including across ties (all-visible views clamp many
+    nodes to projected area 4; culled nodes all share lowest()) — the
+    viewer's budgeted set must be deterministic and path-independent."""
+    octree = valid_tree
+    frustum = _frustums()["all_visible"]
+    cached = frustum.intersector().cached_axes_for_aabb()
+    proj = cached.corners @ cached.axes.T
+    qmin, qmax = proj.min(axis=0), proj.max(axis=0)
+
+    full = native.cull_lod_select(
+        frustum.clip_from_query, cached.axes, qmin, qmax,
+        octree.cube_mins, octree.cube_edges, octree.num_points,
+        dtype=np.float64, max_out=0,
+    )
+    topk = native.cull_lod_select(
+        frustum.clip_from_query, cached.axes, qmin, qmax,
+        octree.cube_mins, octree.cube_edges, octree.num_points,
+        dtype=np.float64, max_out=budget,
+    )
+    assert full is not None and topk is not None
+    full_order, full_sizes, _ = full
+    topk_order, _, _ = topk
+    # Ties exist in this view (else the test is vacuous).
+    kept_sizes = full_sizes[full_order[:budget]]
+    assert len(np.unique(kept_sizes.round(12))) < budget
+    np.testing.assert_array_equal(topk_order[:budget], full_order[:budget])

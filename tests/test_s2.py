@@ -216,3 +216,35 @@ def test_latlng_rect_covers_interior_bulge():
     lat_s, _ = s2.latlng_of(pts_s)
     assert lat_s.min() >= rect_s.lat_lo - 1e-12
     assert lat_s.max() <= rect_s.lat_hi + 1e-12
+
+
+def test_cell_union_normalize_keeps_ancestors():
+    """A parent listed with one of its LOWER-half children (which sorts
+    before the parent id) must not be dropped by normalization: the union's
+    coverage is the parent's whole range (s2geometry CellUnion::Normalize
+    pops contained predecessors).  Regression: the old keep rule silently
+    shrank the union to the first child."""
+    from point_cloud_viewer_tpu.math import s2
+    from point_cloud_viewer_tpu.s2_cells.cell_union import CellUnion
+
+    face_cell = np.uint64((2 * 2 + 1) << 60)  # face 2 cell
+    parent_cell = s2.children(int(face_cell))[1]
+    kids = s2.children(int(parent_cell))
+    assert int(kids[0]) < int(parent_cell) < int(kids[3])  # lower/upper halves
+
+    for cells in ([kids[0], parent_cell],              # child sorts first
+                  [kids[0], kids[2], parent_cell],     # several children
+                  [parent_cell, kids[3]]):             # parent sorts first
+        u = CellUnion([int(c) for c in cells])
+        assert list(u.ids) == [int(parent_cell)], cells
+        # Every grandchild of the parent is contained.
+        for kid in kids:
+            gkids = np.array(s2.children(int(kid)), dtype=np.uint64)
+            assert u.contains_cell_ids(gkids).all()
+
+    # Sibling sets without their parent stay untouched (no sibling merge).
+    u = CellUnion([int(k) for k in kids])
+    assert sorted(int(i) for i in u.ids) == sorted(int(k) for k in kids)
+    # Duplicates collapse.
+    u = CellUnion([int(parent_cell), int(parent_cell)])
+    assert list(u.ids) == [int(parent_cell)]

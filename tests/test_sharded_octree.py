@@ -171,3 +171,22 @@ def test_mesh_built_cloud_geodesic_queries(tmp_path):
     build_octree(host_dir, 0.01, batch)
     union_n, rect_n = ge._geodesic_query_check(mesh_dir, host_dir, ecef)
     assert union_n > 0 and rect_n > 0
+
+
+def test_sharded_entrypoints_accept_empty_input():
+    """Zero points (e.g. a fully filtered stream) must return empty results
+    like the host paths — regression: padded=0 made the shard-stride
+    arange step zero and raised."""
+    from point_cloud_viewer_tpu.parallel.sharded_build import sharded_tree_levels
+
+    mesh = _cpu_mesh(8)
+    codes, order = sharded_morton_sort(
+        np.empty((0, 3), dtype=np.uint32), mesh, morton.MAX_DEPTH
+    )
+    assert len(codes) == 0 and len(order) == 0
+    shards = sharded_tree_levels(
+        np.empty(0, dtype=np.uint64), mesh, depth=morton.MAX_DEPTH,
+        b_levels=1, max_split_level=morton.MAX_DEPTH, max_points_per_node=100_000,
+    )
+    assert len(shards) == 8
+    assert all(len(i) == 0 and len(f) == 0 and len(l) == 0 for i, f, l in shards)

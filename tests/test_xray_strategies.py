@@ -260,3 +260,47 @@ def test_device_splat_matches_host_exactly(kind, kwargs):
     img_host = host.render(size)
     img_dev = dev.render(size)
     np.testing.assert_array_equal(img_host, img_dev)
+
+
+def test_mean_strategies_tolerate_contribution_free_batches():
+    """A batch whose points all fall out of bounds (e.g. on the min-y edge,
+    which discretize drops), an empty batch, and an IntensityStrategy batch
+    whose intensities are all negative (retain() empties it) must simply
+    contribute nothing — regression: values[idx].reshape(len(idx), -1)
+    crashed on empty idx."""
+    color = np.array([[10, 20, 30]], dtype=np.uint8)
+    s = PointColorStrategy()
+    s.process(_batch([[0.5, 0.0, 1.0]], color=color), BBOX, SIZE)   # dropped edge
+    s.process(_batch(np.zeros((0, 3)),
+                     color=np.zeros((0, 3), np.uint8)), BBOX, SIZE)  # empty
+    s.process(_batch([[0.5, 7.9, 1.0]], color=color), BBOX, SIZE)    # real point
+    img = s.render(SIZE)
+    assert img[0, 0, 3] == 255 and tuple(img[0, 0, :3]) == (10, 20, 30)
+
+    si = IntensityStrategy(1.0, 100.0)
+    si.process(
+        _batch([[0.5, 7.9, 1.0]], intensity=np.array([-5.0], np.float32)),
+        BBOX, SIZE,
+    )  # retain() empties the batch
+    si.process(
+        _batch([[0.5, 7.9, 1.0]], intensity=np.array([50.0], np.float32)),
+        BBOX, SIZE,
+    )
+    img = si.render(SIZE)
+    assert img[0, 0, 3] == 255
+
+
+def test_make_strategy_forwards_colormap():
+    """colored_with_height_stddev must honor the colormap option (reference
+    --colormap, default jet — xray/src/build_quadtree.rs:67-72)."""
+    from point_cloud_viewer_tpu.xray.generation import make_strategy
+
+    zs = [1.0, 3.0]  # stddev 1.0 -> saturation 0.5
+    pts = [[0.5, 7.9, z] for z in zs]
+    sat = np.array([0.5], dtype=np.float32)
+    for kwargs, cmap in [({}, jet), ({"colormap": "jet"}, jet),
+                         ({"colormap": "purplish"}, monochrome)]:
+        s = make_strategy("colored_with_height_stddev",
+                          max_stddev=2.0, **kwargs)
+        s.process(_batch(pts), BBOX, SIZE)
+        np.testing.assert_array_equal(s.render(SIZE)[0, 0], cmap(sat)[0])
