@@ -10,6 +10,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+from ..utils.progress import parse_key_val
+
 
 def _parse_color(s: str):
     parts = [int(v) for v in s.split(",")]
@@ -18,12 +20,6 @@ def _parse_color(s: str):
     if len(parts) != 4:
         raise argparse.ArgumentTypeError("color must be R,G,B[,A]")
     return tuple(parts)
-
-
-def _parse_key_val(s: str):
-    if "=" not in s:
-        raise argparse.ArgumentTypeError(f"invalid KEY=value: no '=' in {s!r}")
-    return s.split("=", 1)
 
 
 def main(argv=None) -> int:
@@ -54,11 +50,11 @@ def main(argv=None) -> int:
         "--tile_background_color", type=_parse_color, default=(255, 255, 255, 255)
     )
     parser.add_argument(
-        "--filter_interval", action="append", type=_parse_key_val, default=[],
+        "--filter_interval", action="append", type=parse_key_val, default=[],
         metavar="ATTR=LO,HI", help="Keep only points whose attribute is in [LO, HI].",
     )
     parser.add_argument(
-        "--binning", type=_parse_key_val, default=None, metavar="ATTR=SIZE",
+        "--binning", type=parse_key_val, default=None, metavar="ATTR=SIZE",
         help="Bin by an attribute before averaging (e.g. timestamp=10).",
     )
     parser.add_argument(
@@ -86,7 +82,7 @@ def main(argv=None) -> int:
     apply_hook(extension, "add_arguments", parser)
     args = parser.parse_args(argv)
 
-    if args.tile_size & (args.tile_size - 1):
+    if args.tile_size <= 0 or args.tile_size & (args.tile_size - 1):
         parser.error("tile_size must be a power of two")
 
     from ..math.intervals import ClosedInterval

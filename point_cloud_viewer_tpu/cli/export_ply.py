@@ -23,7 +23,6 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     from ..io.ply import PlyStreamWriter
-    from ..math.geometry import Aabb
     from ..math.intervals import ClosedInterval
     from ..query.client import PointCloudClient
     from ..query.location import AllPoints
@@ -31,8 +30,12 @@ def main(argv=None) -> int:
 
     location = AllPoints()
     if args.aabb:
-        v = [float(x) for x in args.aabb.split(",")]
-        location = Aabb(v[:3], v[3:])
+        from ..utils.progress import parse_aabb
+
+        try:
+            location = parse_aabb(args.aabb)
+        except ValueError as e:
+            parser.error(str(e))
     intervals = {}
     for kv in args.filter_interval:
         k, s = kv.split("=", 1)

@@ -32,8 +32,14 @@ def main(argv=None) -> int:
         prefix = os.path.dirname(directory) or "."
         init_id = os.path.basename(directory)
     elif args.prefix is not None:
+        if not args.init_id:
+            # An empty initial id leaves the bundled client fetching
+            # /visible_nodes// (404) and stuck on "loading..."; the
+            # reference always derives an id from its octree path.
+            parser.error("--prefix requires --init_id (the initial tree "
+                         "the web client loads)")
         prefix = args.prefix
-        init_id = args.init_id or ""
+        init_id = args.init_id
     else:
         parser.error("provide an octree directory or --prefix")
         return 2

@@ -42,7 +42,6 @@ def main(argv=None) -> int:
     )
     args = parser.parse_args(argv)
 
-    from ..math.geometry import Aabb
     from ..math.intervals import ClosedInterval
     from ..query.client import PointCloudClient
     from ..query.point_query import PointQuery
@@ -53,8 +52,12 @@ def main(argv=None) -> int:
         parser.error("--aabb, --cell_union and --web_mercator_rect are "
                      "mutually exclusive")
     if args.aabb:
-        v = [float(x) for x in args.aabb.split(",")]
-        location = Aabb(v[:3], v[3:])
+        from ..utils.progress import parse_aabb
+
+        try:
+            location = parse_aabb(args.aabb)
+        except ValueError as e:
+            parser.error(str(e))
     elif args.web_mercator_rect:
         from ..math.web_mercator import WebMercatorRect
 

@@ -78,6 +78,7 @@ def main(argv=None) -> int:
         use_gl=args.gl,
         show_octree_nodes=args.show_octree_nodes,
         device_cull=args.device_cull,
+        cache_size_mb=args.cache_size_mb,
     )
     print(
         f"Final frame: {stats.nodes_drawn}/{stats.visible_nodes} nodes, "

@@ -99,3 +99,17 @@ def parse_key_val(s: str):
         raise ValueError(f"invalid KEY=value: no '=' found in {s!r}")
     key, value = s.split("=", 1)
     return key, value
+
+
+def parse_aabb(s: str):
+    """'minx,miny,minz,maxx,maxy,maxz' -> Aabb, validating the length (a
+    typo'd count would otherwise broadcast into a silently wrong box)."""
+    from ..math.geometry import Aabb
+
+    v = [float(x) for x in s.split(",")]
+    if len(v) != 6:
+        raise ValueError(
+            f"--aabb needs 6 comma-separated values "
+            f"(minx,miny,minz,maxx,maxy,maxz), got {len(v)}"
+        )
+    return Aabb(v[:3], v[3:])

@@ -71,7 +71,11 @@ class Camera:
         self._pan[1] += 100.0 * delta_y / self.height
 
     def mouse_wheel(self, delta: float) -> None:
-        self.movement_speed *= 1.1 ** delta
+        """+-10% movement speed per wheel EVENT (sign only, not magnitude)
+        with the reference's 0.01 floor (camera.rs:296-301)."""
+        sign = (delta > 0) - (delta < 0)
+        self.movement_speed += sign * 0.1 * self.movement_speed
+        self.movement_speed = max(self.movement_speed, 0.01)
 
     def pan(self, x: float, y: float, z: float) -> None:
         """Accumulate a camera-frame translation for this frame

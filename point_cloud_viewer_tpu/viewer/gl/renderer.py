@@ -195,16 +195,10 @@ class PointsRendererGL:
         origin = np.asarray(camera_origin, dtype=np.float64)
         mins = np.asarray(mins, dtype=np.float64) - origin
         edges = np.asarray(edges, dtype=np.float64)
-        corner_unit = np.array(
-            [[c & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)],
-            dtype=np.float64,
-        )
-        box_edges = np.array(
-            [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
-             (0, 4), (1, 5), (2, 6), (3, 7)]
-        )
-        corners = mins[:, None, :] + corner_unit[None] * edges[:, None, None]
-        segs = corners[:, box_edges.ravel(), :].reshape(-1, 3).astype(np.float32)
+        from ..software_raster import _BOX_EDGES, _CORNER_UNIT
+
+        corners = mins[:, None, :] + _CORNER_UNIT[None] * edges[:, None, None]
+        segs = corners[:, _BOX_EDGES.ravel(), :].reshape(-1, 3).astype(np.float32)
         m = np.asarray(clip_from_world, dtype=np.float64).copy()
         m[:, 3] = m @ np.array([origin[0], origin[1], origin[2], 1.0])
         self.solid.use()

@@ -86,10 +86,12 @@ class GlPointCloudRenderer(PointCloudRenderer):
         super().__init__(octree, cache_size_mb=cache_size_mb,
                          width=width, height=height,
                          device_cull=device_cull)
-        # Replace the software container with the GPU one.
+        # Replace the software container with the GPU one (same size: the
+        # base init already clamped cache_size_mb to the reference range).
+        max_nodes = self.node_views.max_nodes
         self.node_views.shutdown()
         self.node_views = GlNodeViewContainer(
-            octree, max_nodes_in_memory=cache_size_mb * 5,
+            octree, max_nodes_in_memory=max_nodes,
             renderer=self.gl_renderer,
         )
 

@@ -127,12 +127,16 @@ class PointCloudRenderer:
         height: int = 600,
         device_cull: bool = False,
     ) -> None:
-        # ~200 KB per node => max nodes = MB * 5 (reference lib.rs:374-385).
+        # Cache size clamped to [1000, 16000] MB, ~200 KB per node =>
+        # max nodes = MB * 5 (reference lib.rs:374-385).
+        cache_size_mb = max(1000, min(16_000, cache_size_mb))
         self.octree = octree
         self.node_views = NodeViewContainer(octree, max_nodes_in_memory=cache_size_mb * 5)
         self.width = width
         self.height = height
         self.max_nodes_moving = cache_size_mb * 5
+        self._budget_frames = 0
+        self._budget_window_start = time.perf_counter()
         self.point_size_lod = 2  # draw 1/2 of points while moving
         self.show_octree_nodes = False
         # Interactive display knobs (reference lib.rs:505-508 binds keys
@@ -153,7 +157,6 @@ class PointCloudRenderer:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._visible_worker, daemon=True)
         self._thread.start()
-        self._last_fps: Optional[float] = None
 
     # -- background visible-node computation -------------------------------
 
@@ -234,14 +237,29 @@ class PointCloudRenderer:
 
     # -- adaptive budget -----------------------------------------------------
 
-    def adapt_budget(self, fps: float) -> None:
-        """FPS feedback: +-10% node budget (reference lib.rs:220-227)."""
-        if fps < FPS_LOWER:
-            self.max_nodes_moving = max(1, int(self.max_nodes_moving * 0.9))
-        elif fps > FPS_UPPER:
-            self.max_nodes_moving = min(
-                self.node_views.max_nodes, int(self.max_nodes_moving * 1.1) + 1
-            )
+    def adapt_budget(self, moving: bool, now: Optional[float] = None) -> None:
+        """FPS feedback on the moving node budget: +-10% from the AVERAGED
+        frame rate, at most once per second, and only while the camera
+        moves (reference lib.rs:213-227).  Per-frame instantaneous feedback
+        would compound 0.9 every frame and collapse the budget to 1 within
+        seconds of sub-20-FPS rendering."""
+        if now is None:
+            now = time.perf_counter()
+        self._budget_frames += 1
+        duration = now - self._budget_window_start
+        if duration <= 1.0:
+            return
+        fps = self._budget_frames / duration
+        if moving:
+            if fps < FPS_LOWER:
+                self.max_nodes_moving = max(1, int(self.max_nodes_moving * 0.9))
+            elif fps > FPS_UPPER:
+                self.max_nodes_moving = min(
+                    self.node_views.max_nodes,
+                    int(self.max_nodes_moving * 1.1) + 1,
+                )
+        self._budget_frames = 0
+        self._budget_window_start = now
 
     def resize(self, width: int, height: int) -> None:
         """Window size changed (reference lib.rs:581-586 -> set_size)."""
@@ -325,6 +343,7 @@ def run_headless(
     use_gl: bool = False,
     show_octree_nodes: bool = False,
     device_cull: bool = False,
+    cache_size_mb: int = 2000,
 ) -> FrameStats:
     """Drive the full viewer loop headlessly: orbit the camera around the
     cloud, stream nodes, adapt the budget, and optionally save the final
@@ -340,16 +359,17 @@ def run_headless(
         from .gl.viewer import GlPointCloudRenderer
 
         renderer = GlPointCloudRenderer(
-            octree, width=width, height=height, device_cull=device_cull
+            octree, width=width, height=height, device_cull=device_cull,
+            cache_size_mb=cache_size_mb,
         )
     else:
         renderer = PointCloudRenderer(
-            octree, width=width, height=height, device_cull=device_cull
+            octree, width=width, height=height, device_cull=device_cull,
+            cache_size_mb=cache_size_mb,
         )
     renderer.show_octree_nodes = show_octree_nodes
     try:
         stats = FrameStats()
-        last = time.perf_counter()
         for frame in range(num_frames):
             angle = 2 * np.pi * frame / num_frames
             camera.position = center + diag * np.array(
@@ -374,10 +394,7 @@ def run_headless(
                     stats, image = renderer.draw(
                         matrix, moving=False, render=True
                     )
-            now = time.perf_counter()
-            fps = 1.0 / max(now - last, 1e-6)
-            last = now
-            renderer.adapt_budget(fps)
+            renderer.adapt_budget(moved)
             if want_shot and image is not None:
                 from PIL import Image
 

@@ -245,7 +245,7 @@ def run_windowed(
             )
             if image is not None:
                 backend.present(image)
-            renderer.adapt_budget(1.0 / max(elapsed, 1e-6))
+            renderer.adapt_budget(moved)
             frames += 1
         return stats
     finally:

@@ -41,7 +41,15 @@ def test_camera_wheel_and_turning():
     cam = Camera()
     speed = cam.movement_speed
     cam.mouse_wheel(2)
-    assert cam.movement_speed > speed
+    # Sign-only step: one event is one 10% step regardless of magnitude,
+    # with a 0.01 floor (reference camera.rs:296-301).
+    assert cam.movement_speed == pytest.approx(speed * 1.1)
+    cam.mouse_wheel(-7)
+    assert cam.movement_speed == pytest.approx(speed * 1.1 * 0.9)
+    cam.movement_speed = 0.0101
+    for _ in range(50):
+        cam.mouse_wheel(-1)
+    assert cam.movement_speed == pytest.approx(0.01)
     cam.turning["left"] = True
     cam.update(0.5)
     assert cam.theta == pytest.approx(0.25)
@@ -157,9 +165,21 @@ def test_adaptive_budget():
     r.max_nodes_moving = 100
     r.node_views = Dummy()
     r.node_views.max_nodes = 10_000
-    r.adapt_budget(10.0)
+    r._budget_frames = 0
+    r._budget_window_start = 0.0
+    # 12 frames over 1.2 s = 10 FPS avg while moving -> one -10% step.
+    for i in range(1, 13):
+        r.adapt_budget(True, now=i * 0.1)
     assert r.max_nodes_moving == 90
-    r.adapt_budget(30.0)
+    # Fast frames over the next window while moving -> one +10% step.
+    for i in range(13, 60):
+        r.adapt_budget(True, now=1.2 + (i - 12) * 0.025)
+    assert r.max_nodes_moving == 100
+    # Sub-20-FPS while NOT moving adjusts nothing (reference lib.rs:220),
+    # and a window adjusts AT MOST once regardless of frame count.
+    start = r._budget_window_start
+    for i in range(100):
+        r.adapt_budget(False, now=start + 0.05 * (i + 1))
     assert r.max_nodes_moving == 100
 
 
