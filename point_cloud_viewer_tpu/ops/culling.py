@@ -156,6 +156,36 @@ def frustum_axes_and_projections(frustum) -> Tuple[np.ndarray, np.ndarray, np.nd
     )
 
 
+def pad_cull_axes(axes, qmin, qmax, a_cap: int):
+    """Pad a frame's SAT axes to width a_cap with inert sentinels: a zero
+    axis projects everything to 0, which the [-inf, inf] query range never
+    separates, so relations are unchanged."""
+    a = len(axes)
+    ax = np.zeros((a_cap, 3), np.float32)
+    qn = np.full(a_cap, -np.inf, np.float32)
+    qx = np.full(a_cap, np.inf, np.float32)
+    ax[:a] = axes
+    qn[:a] = qmin
+    qx[:a] = qmax
+    return ax, qn, qx
+
+
+def prep_frustum_frames(frustums, axis_capacity: int = 0):
+    """Host prep for a multi-frame cull dispatch: per-frame cached axes
+    padded to a common width (>= axis_capacity), stacked into (F, 4, 4)
+    matrices + (F, A, 3)/(F, A)/(F, A) axis arrays."""
+    prep = [frustum_axes_and_projections(f) for f in frustums]
+    a_cap = max([int(axis_capacity)] + [len(p[0]) for p in prep])
+    mats, axs, qns, qxs = [], [], [], []
+    for f, (axes, qmin, qmax) in zip(frustums, prep):
+        ax, qn, qx = pad_cull_axes(axes, qmin, qmax, a_cap)
+        mats.append(f.clip_from_query.astype(np.float32))
+        axs.append(ax)
+        qns.append(qn)
+        qxs.append(qx)
+    return np.stack(mats), np.stack(axs), np.stack(qns), np.stack(qxs)
+
+
 class DeviceCullSession:
     """Device-resident cull + LOD selection across frames.
 
@@ -191,13 +221,7 @@ class DeviceCullSession:
         a = len(axes)
         if a > self.a_cap:  # grow once; next frames reuse the new width
             self.a_cap = int(a * 2)
-        ax = np.zeros((self.a_cap, 3), np.float32)
-        qn = np.full(self.a_cap, -np.inf, np.float32)
-        qx = np.full(self.a_cap, np.inf, np.float32)
-        ax[:a] = axes
-        qn[:a] = qmin
-        qx[:a] = qmax
-        return ax, qn, qx
+        return pad_cull_axes(axes, qmin, qmax, self.a_cap)
 
     def step(self, frustum) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One frame -> (priority_order (K,) i32, sizes (K,), visible (K,)),
@@ -221,21 +245,15 @@ class DeviceCullSession:
                 np.empty((0, k), np.float32),
                 np.empty((0, k), bool),
             )
-        mats, axs, qns, qxs = [], [], [], []
-        prep = [frustum_axes_and_projections(f) for f in frustums]
-        if prep:
-            need = max(len(p[0]) for p in prep)
-            if need > self.a_cap:
-                self.a_cap = int(need * 2)
-        for f, (axes, qmin, qmax) in zip(frustums, prep):
-            ax, qn, qx = self._pad(axes, qmin, qmax)
-            mats.append(f.clip_from_query.astype(np.float32))
-            axs.append(ax)
-            qns.append(qn)
-            qxs.append(qx)
+        need = max(
+            len(frustum_axes_and_projections(f)[0]) for f in frustums
+        )
+        if need > self.a_cap:
+            self.a_cap = int(need * 2)
+        mats, axs, qns, qxs = prep_frustum_frames(frustums, self.a_cap)
         order, sizes, visible = frustum_cull_lod_select_frames(
-            jnp.asarray(np.stack(mats)), jnp.asarray(np.stack(axs)),
-            jnp.asarray(np.stack(qns)), jnp.asarray(np.stack(qxs)),
+            jnp.asarray(mats), jnp.asarray(axs),
+            jnp.asarray(qns), jnp.asarray(qxs),
             self._mins, self._edges, self._num_points,
         )
         return np.asarray(order), np.asarray(sizes), np.asarray(visible)
