@@ -32,7 +32,10 @@ float height_at(vec2 gpos, out bool ok) {
   vec2 xy = origin + gpos * spacing;
   vec2 uv = (xy - window_min) / window_extent;
   float h = texture(height_tex, uv).r;
-  ok = (h == h) && all(greaterThanEqual(uv, vec2(0.0))) &&
+  // isnan(): missing tiles are NaN-filled (viewer/terrain.py); a raw
+  // h == h test may be folded to true by fast-math drivers (GLSL 3.30
+  // does not guarantee NaN semantics for comparisons).
+  ok = !isnan(h) && all(greaterThanEqual(uv, vec2(0.0))) &&
        all(lessThanEqual(uv, vec2(1.0)));
   return h;
 }
@@ -45,12 +48,17 @@ void main() {
   vs_out.valid = ok ? 1.0 : 0.0;
   gl_Position = rel_to_clip * vec4(xy, ok ? h : 0.0, 1.0);
 
-  // Validity of the 3x3 vertex neighborhood (dx, dy in -1..1).
+  // Validity of the 3x3 vertex neighborhood (dx, dy in -1..1); the center
+  // sample reuses the fetch from above (9 fetches per vertex, not 10).
   bool v[9];
   for (int dy = -1; dy <= 1; ++dy) {
     for (int dx = -1; dx <= 1; ++dx) {
       bool vok;
-      height_at(grid_pos + vec2(float(dx), float(dy)), vok);
+      if (dx == 0 && dy == 0) {
+        vok = ok;
+      } else {
+        height_at(grid_pos + vec2(float(dx), float(dy)), vok);
+      }
       v[(dy + 1) * 3 + (dx + 1)] = vok;
     }
   }

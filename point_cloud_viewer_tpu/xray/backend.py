@@ -51,6 +51,13 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         url = urlparse(self.path)
         path = url.path
+        if self.prefix and path == self.prefix:
+            # The client uses relative URLs; they only resolve under the
+            # prefix when the page URL ends with '/'.
+            self.send_response(301)
+            self.send_header("Location", self.prefix + "/")
+            self.end_headers()
+            return
         if self.prefix and path.startswith(self.prefix):
             path = path[len(self.prefix):] or "/"
         try:
