@@ -11,10 +11,18 @@ Exactness policy (the strategy tests assert identical u8 images):
 * XRay occupancy and color sums reduce in INTEGERS — bit-exact vs host.
 * Intensity / height-stddev moments reduce in f64 (x64 enabled for the
   call via JAX's scoped config; the TPU emulates f64).  Scatter-add
-  association may differ from numpy's sequential bincount, but f64 sums of
-  float32-precision values are EXACT (no rounding at all) whenever the
-  summand exponent span is <= 29 binary orders — true for any real
-  intensity/height data — so the results are bit-equal to the host's.
+  association may differ from numpy's sequential bincount; the sums are
+  nevertheless EXACT (no rounding anywhere, hence order-independent and
+  bit-equal to the host) PROVIDED each summand is itself exact in <= 53
+  mantissa bits with bounded exponent span — true for f32-precision
+  intensities and for heights quantized to a fixed step (e.g. 1/64 m:
+  z and z*z are then small dyadic rationals).  For FULL-f64 heights the
+  z*z products round, so device and host sums can differ in the last ulp
+  and the u8 image by 1 LSB at colormap boundaries — the same
+  nondeterminism class as the reference's own parallel point-arrival
+  order (its rayon iterator feeds each tile's OnlineStats in
+  nondeterministic order, generation.rs:365-405).  tools/fuzz_xray.py
+  asserts bit-equality under the precondition and <= 1 LSB outside it.
 
 Host discretization (generation.discretize, f64) is kept — quantization
 must be bit-exact with the reference — the device runs the O(N) reduction,

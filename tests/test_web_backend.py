@@ -258,3 +258,55 @@ def test_xray_client_has_pan_zoom_keyboard():
     assert "pickLevel" in html
     for code in ("KeyW", "KeyA", "KeyS", "KeyD", "ArrowUp", "ArrowDown"):
         assert code in html
+
+
+def test_float64_wire_decode_preserves_resolution(tmp_path):
+    """A FLOAT64-encoded node (edge/resolution needing > 24 bits) must
+    decode to the advertised resolution via the CLIENT's documented recipe
+    (client.html parseBlob): t stays f64 through (t*edge + min - offset);
+    truncating t to f32 FIRST provably breaks the guarantee (regression:
+    the old client did exactly that)."""
+    from point_cloud_viewer_tpu.viewer.web_backend import AppState, make_server
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    res = 1e-7
+    base_pos = np.array([1e7, 2e7, 3e7])
+    batch = PointsBatch(
+        position=base_pos + rng.random((n, 3)) * 20.0,
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+    root = tmp_path / "trees"
+    root.mkdir()
+    out = str(root / "f64cloud")
+    build_octree(out, res, batch)
+    octree = Octree.from_directory(out)
+    meta = octree.node_meta(NodeId.from_str("r"))
+    assert meta.position_encoding.bytes_per_coordinate == 8, (
+        "fixture must force FLOAT64")
+
+    state = AppState(prefix=str(root), init_octree_id="f64cloud")
+    server = make_server(state, ip="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        blob = _post(f"http://127.0.0.1:{port}/nodes_data/f64cloud/",
+                     json.dumps(["r"]).encode())
+    finally:
+        server.shutdown()
+
+    minx, miny, minz, edge = struct.unpack_from("<dddd", blob, 0)
+    num_points, bpc = struct.unpack_from("<IB", blob, 32)
+    off = (37 + 7) & ~7
+    t = np.frombuffer(blob, "<f8", count=num_points * 3, offset=off).reshape(-1, 3)
+    offset = np.array([minx + edge / 2, miny + edge / 2, minz + edge / 2])
+
+    truth = octree.points_in_node(NodeId.from_str("r"), attributes=["color"])
+    rel = truth.position - offset
+    # New client recipe: decode in f64 first.
+    dec = t * edge + [minx, miny, minz] - offset
+    assert np.abs(dec - rel).max() <= res
+    # Old recipe (f32-truncate t first) violates the resolution promise —
+    # keeps this fixture honest about what the recipe change buys.
+    old = t.astype(np.float32).astype(np.float64) * edge + [minx, miny, minz] - offset
+    assert np.abs(old - rel).max() > res
