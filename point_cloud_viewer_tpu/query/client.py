@@ -192,7 +192,9 @@ class PointCloudClient:
             out.put(_SENTINEL)
 
         threads = [
-            threading.Thread(target=worker, daemon=True)
+            threading.Thread(
+                target=worker, daemon=True, name="pcv-stream-worker"
+            )
             for _ in range(self.num_threads)
         ]
         for t in threads:

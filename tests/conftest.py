@@ -31,3 +31,16 @@ def cpu_mesh(n: int = 8, axis: str = "shard"):
     import numpy as np
 
     return Mesh(np.array(jax.devices("cpu")[:n]), (axis,))
+
+
+def assert_dirs_byte_equal(a: str, b: str, context: str = ""):
+    """Both directories contain the same file NAMES with identical BYTES —
+    the suite-wide check that two build paths produced the same octree."""
+    fa, fb = sorted(os.listdir(a)), sorted(os.listdir(b))
+    assert fa == fb, f"{context}: file sets differ ({len(fa)} vs {len(fb)})"
+    for name in fa:
+        with open(os.path.join(a, name), "rb") as f:
+            ba = f.read()
+        with open(os.path.join(b, name), "rb") as f:
+            bb = f.read()
+        assert ba == bb, f"{context}: {name} bytes differ"

@@ -130,13 +130,16 @@ def test_stream_is_lazy_and_cancellable(cloud):
     from point_cloud_viewer_tpu.query.location import AllPoints
 
     batch, out = cloud
-    before = threading.active_count()
     client = PointCloudClient.from_locations([out], num_threads=2, batch_size=100)
     gen = client.stream(PointQuery(attributes=["color"], location=AllPoints()))
     first = next(gen)
     assert len(first) == 100  # yielded long before the 200k-point query ends
     gen.close()  # abandon: must cancel workers and join them, not deadlock
-    assert threading.active_count() == before
+    # Count only OUR named workers — a global active_count() comparison
+    # is racy against unrelated pool threads from other tests.
+    workers = [t for t in threading.enumerate()
+               if t.name == "pcv-stream-worker" and t.is_alive()]
+    assert not workers, workers
     # A fresh full stream still works after an abandoned one.
     total = sum(len(b) for b in client.stream(
         PointQuery(attributes=["color"], location=AllPoints())

@@ -78,15 +78,9 @@ def test_deep_build_deterministic(tmp_path):
     )
     out_a, _ = _build(tmp_path, "a", batch, 0.01)
     out_b, _ = _build(tmp_path, "b", batch, 0.01)
-    files_a = sorted(os.listdir(out_a))
-    files_b = sorted(os.listdir(out_b))
-    assert files_a == files_b
-    for name in files_a:
-        with open(os.path.join(out_a, name), "rb") as f:
-            a = f.read()
-        with open(os.path.join(out_b, name), "rb") as f:
-            b = f.read()
-        assert a == b, name
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert_dirs_byte_equal(out_a, out_b, context="deep determinism")
 
 
 def test_very_deep_chain_reaches_format_levels(tmp_path):
@@ -127,14 +121,9 @@ def test_deep_build_device_byte_identical(tmp_path):
     )
     assert res_h.depth_cap > 21 and res_d.depth_cap > 21
     assert max(nid.level for nid, _ in res_d.nodes) >= 22
-    files_h = sorted(os.listdir(out_h))
-    assert files_h == sorted(os.listdir(out_d))
-    for name in files_h:
-        with open(os.path.join(out_h, name), "rb") as f:
-            a = f.read()
-        with open(os.path.join(out_d, name), "rb") as f:
-            b = f.read()
-        assert a == b, name
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert_dirs_byte_equal(out_h, out_d, context="deep device vs host")
 
 
 def test_deep_build_streaming_byte_identical(tmp_path):
@@ -220,12 +209,9 @@ def test_deep_build_mesh_distributed_byte_identical(tmp_path, monkeypatch):
         monkeypatch.setattr(builder_mod, "_dispatch_deep_device", real_dispatch)
         assert len(used) == 3, "expected one dispatch per fat cell"
         assert len({d.id for d in used}) == min(3, n_dev), used
-        files_h = sorted(os.listdir(out_h))
-        assert files_h == sorted(os.listdir(out_m))
-        for f in files_h:
-            a = open(os.path.join(out_h, f), "rb").read()
-            b = open(os.path.join(out_m, f), "rb").read()
-            assert a == b, (n_dev, f)
+        from tests.conftest import assert_dirs_byte_equal
+
+        assert_dirs_byte_equal(out_h, out_m, context=f"deep mesh({n_dev})")
 
 
 def test_shallow_build_unchanged_by_deep_path(tmp_path):

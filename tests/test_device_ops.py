@@ -62,10 +62,6 @@ def test_device_tree_matches_host_builder(tmp_path):
     position = rng.random((n, 3)) * 8.0
     batch = PointsBatch(position=position)
     out = str(tmp_path / "oct")
-    # Small max_points to force several levels.
-    from point_cloud_viewer_tpu.core import constants
-    from point_cloud_viewer_tpu.octree import builder as builder_mod
-
     result = build_octree(out, 0.001, batch)
     root = result.root_cube
     depth = result.depth_cap
@@ -75,15 +71,9 @@ def test_device_tree_matches_host_builder(tmp_path):
     dev_level = np.asarray(dev.final_level)
     dev_order = np.asarray(dev.order).astype(np.int64)
 
-    # Host truth: point index -> level, recovered by streaming every node.
-    octree = Octree.from_directory(out)
-    host_level = np.full(n, -1)
-    codes = morton.morton_encode(cells)
-    sorted_order = np.argsort(codes, kind="stable")
-    # Map each written node's points back to original indices by matching
-    # decoded positions is fragile; instead rebuild from builder internals:
-    # builder wrote counts per node; device gives levels per sorted point.
-    # Cross-check via aggregate: per-level point counts must match.
+    # Host truth from builder outputs; per-point index mapping would be
+    # fragile, so the check is aggregate (per-level counts) plus per-node
+    # counts at the deepest levels below.
     from collections import Counter
 
     host_counts = Counter()
@@ -341,9 +331,13 @@ def test_padded_tree_codes_bit_identical(root_level, stop_level):
         np.asarray(ref_final), np.asarray(d_final)[:n]
     )
     np.testing.assert_array_equal(np.asarray(ref_leaf), np.asarray(d_leaf)[:n])
-    # The maximal cell really split (its count 700 > threshold), proving
-    # the sentinel run did not merge into it.
-    assert (np.asarray(ref_leaf)[-1] or True)
+    if root_level == 0:
+        # The maximal cell really split all the way down (700 identical
+        # all-ones codes > threshold force splits to max level), proving
+        # the sentinel run did not merge into it: the last sorted point's
+        # pre-promotion leaf sits at `depth`, and the padded path agrees.
+        assert int(np.asarray(ref_leaf)[-1]) == depth
+        assert int(np.asarray(d_leaf)[n - 1]) == depth
 
 
 def test_padded_argsort_matches_host():

@@ -108,7 +108,7 @@ def test_s2_positions_are_exact(earth_data):
     assert got == N
 
 
-def _assert_equivalent(a: np.ndarray, b: np.ndarray, n_total: int):
+def _assert_equivalent(a: np.ndarray, b: np.ndarray):
     sym = np.setdiff1d(a, b).size + np.setdiff1d(b, a).size
     denom = max(len(a), len(b), 1)
     assert sym <= max(2, denom // 100), f"sym diff {sym} of {denom}"
@@ -127,7 +127,7 @@ def test_aabb_equivalence(earth_data):
     center = ecef.mean(axis=0)
     box = Aabb(center - 60.0, center + 60.0)
     a, b = _query_both(earth_data, box)
-    _assert_equivalent(a, b, N)
+    _assert_equivalent(a, b)
     # And against brute force with a quantization shell.
     inner = Aabb(box.mins + 2 * RESOLUTION, box.maxs - 2 * RESOLUTION)
     outer = Aabb(box.mins - 2 * RESOLUTION, box.maxs + 2 * RESOLUTION)
@@ -145,7 +145,7 @@ def test_obb_equivalence(earth_data):
         [80.0, 50.0, 20.0],
     )
     a, b = _query_both(earth_data, obb)
-    _assert_equivalent(a, b, N)
+    _assert_equivalent(a, b)
     assert set(b.tolist()) == set(np.nonzero(obb.contains(ecef))[0].tolist())
 
 
@@ -165,7 +165,7 @@ def test_frustum_equivalence(earth_data):
     )
     a, b = _query_both(earth_data, frustum)
     assert len(a) > 0
-    _assert_equivalent(a, b, N)
+    _assert_equivalent(a, b)
     assert set(b.tolist()) == set(np.nonzero(frustum.contains(ecef))[0].tolist())
 
 
@@ -175,7 +175,7 @@ def test_cell_union_equivalence(earth_data):
     union = CellUnion(np.unique(s2.parent(leaves, 18)))
     a, b = _query_both(earth_data, union)
     assert len(a) > 0
-    _assert_equivalent(a, b, N)
+    _assert_equivalent(a, b)
     assert set(b.tolist()) == set(np.nonzero(union.contains(ecef))[0].tolist())
 
 
@@ -190,7 +190,7 @@ def test_web_mercator_rect_equivalence(earth_data):
     assert rect is not None
     a, b = _query_both(earth_data, rect)
     assert len(a) > 0
-    _assert_equivalent(a, b, N)
+    _assert_equivalent(a, b)
     assert set(b.tolist()) == set(np.nonzero(rect.contains(ecef))[0].tolist())
 
 

@@ -30,12 +30,9 @@ def _golden_batch():
 
 
 def _assert_dirs_byte_equal(a: str, b: str):
-    fa, fb = sorted(os.listdir(a)), sorted(os.listdir(b))
-    assert fa == fb
-    for name in fa:
-        ba = open(os.path.join(a, name), "rb").read()
-        bb = open(os.path.join(b, name), "rb").read()
-        assert ba == bb, f"{name} drifted from the golden bytes"
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert_dirs_byte_equal(a, b, context="golden drift")
 
 
 def test_octree_format_is_stable(tmp_path):

@@ -323,10 +323,6 @@ def test_pathological_clouds_native_equals_numpy(tmp_path, case):
     build_octree(a, 0.01, batch)
     with native.disabled():
         build_octree(b, 0.01, batch)
-    files_a, files_b = sorted(os.listdir(a)), sorted(os.listdir(b))
-    assert files_a == files_b
-    for f in files_a:
-        with open(os.path.join(a, f), "rb") as fa, open(
-            os.path.join(b, f), "rb"
-        ) as fb:
-            assert fa.read() == fb.read(), (case, f)
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert_dirs_byte_equal(a, b, context=f"native vs numpy ({case})")

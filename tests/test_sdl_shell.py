@@ -188,14 +188,21 @@ def test_run_windowed_presents_frames_and_quits(octree_dir):
         [KeyDown("escape")],
         [],  # never reached
     ])
-    stats = run_windowed(octree_dir, backend=backend, width=160, height=120,
-                         cache_size_mb=10)
-    assert backend.closed
-    assert 3 <= len(backend.presented) <= 3
-    for img in backend.presented:
-        assert img.shape == (120, 160, 4)
-    assert stats.visible_nodes >= 0
-    assert os.path.exists(os.path.join(octree_dir, "poses.json"))
+    pose_path = os.path.join(octree_dir, "poses.json")
+    try:
+        stats = run_windowed(octree_dir, backend=backend, width=160,
+                             height=120, cache_size_mb=10)
+        assert backend.closed
+        assert 3 <= len(backend.presented) <= 3
+        for img in backend.presented:
+            assert img.shape == (120, 160, 4)
+        assert stats.visible_nodes >= 0
+        assert os.path.exists(pose_path)
+    finally:
+        # The fixture is module-scoped: leaving the saved pose behind
+        # would make later tests order-dependent.
+        if os.path.exists(pose_path):
+            os.remove(pose_path)
 
 
 def test_run_windowed_max_frames_bound(octree_dir):
@@ -206,29 +213,24 @@ def test_run_windowed_max_frames_bound(octree_dir):
     assert backend.closed
 
 
-def test_run_windowed_joystick_drives_camera(octree_dir):
-    # An XBox pad with a pushed stick must move the camera through the
-    # per-frame poll (reference lib.rs:588-591 + input mappings).
-    presented_positions = []
+def test_run_windowed_polls_joystick_each_frame(octree_dir):
+    # An XBox pad with a pushed stick must be POLLED once per frame
+    # through the live pump (reference lib.rs:588-591); the axis->motion
+    # math itself is covered by test_joystick_mappings.
+    calls = {"n": 0}
 
-    class SpyBackend(FakeBackend):
-        pass
+    def axes():
+        calls["n"] += 1
+        return [0, -20000, 0, 0, 0, 0]
 
-    backend = SpyBackend(
+    backend = FakeBackend(
         [[], [], [KeyDown("escape")]],
-        joystick_specs=[("Xbox Wireless Controller",
-                         lambda: [0, -20000, 0, 0, 0, 0])],
+        joystick_specs=[("Xbox Wireless Controller", axes)],
     )
-    from point_cloud_viewer_tpu.octree.octree import Octree as _O
-
-    center0 = _O.from_directory(octree_dir).bounding_box.center()
-    del presented_positions, center0
     stats = run_windowed(octree_dir, backend=backend, width=160, height=120,
                          cache_size_mb=10)
-    # Loop ran to the scripted Escape; camera motion itself is covered by
-    # test_joystick_mappings — here we assert the pump wiring didn't throw
-    # and frames kept presenting while the stick was held.
     assert len(backend.presented) == 3
+    assert calls["n"] == 3, "joystick must be polled exactly once per frame"
     assert stats is not None
 
 

@@ -50,13 +50,9 @@ def test_sharded_build_matches_host(tmp_path):
     build_octree(host_dir, 0.001, batch)
     build_octree(mesh_dir, 0.001, batch, mesh=_cpu_mesh(8))
 
-    host_files = sorted(os.listdir(host_dir))
-    mesh_files = sorted(os.listdir(mesh_dir))
-    assert host_files == mesh_files
-    for name in host_files:
-        a = open(os.path.join(host_dir, name), "rb").read()
-        b = open(os.path.join(mesh_dir, name), "rb").read()
-        assert a == b, f"file {name} differs"
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert_dirs_byte_equal(host_dir, mesh_dir, context="mesh vs host")
 
 
 def test_use_device_build_matches_host(tmp_path):
@@ -75,13 +71,9 @@ def test_use_device_build_matches_host(tmp_path):
     dev_dir = str(tmp_path / "dev")
     build_octree(host_dir, 0.001, batch)
     build_octree(dev_dir, 0.001, batch, use_device=True)
-    host_files = sorted(os.listdir(host_dir))
-    dev_files = sorted(os.listdir(dev_dir))
-    assert host_files == dev_files
-    for name in host_files:
-        a = open(os.path.join(host_dir, name), "rb").read()
-        b = open(os.path.join(dev_dir, name), "rb").read()
-        assert a == b, f"file {name} differs"
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert_dirs_byte_equal(host_dir, dev_dir, context="device vs host")
 
 
 def test_use_device_build_single_point(tmp_path):
@@ -93,12 +85,9 @@ def test_use_device_build_single_point(tmp_path):
     dev_dir = str(tmp_path / "d")
     build_octree(host_dir, 0.01, batch)
     build_octree(dev_dir, 0.01, batch, use_device=True)
-    assert sorted(os.listdir(host_dir)) == sorted(os.listdir(dev_dir))
-    for name in os.listdir(host_dir):
-        assert (
-            open(os.path.join(host_dir, name), "rb").read()
-            == open(os.path.join(dev_dir, name), "rb").read()
-        )
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert_dirs_byte_equal(host_dir, dev_dir, context="device single point")
 
 
 @pytest.mark.parametrize("n_devices", [2, 3, 5])
@@ -117,13 +106,9 @@ def test_sharded_build_nonpow2_meshes(tmp_path, n_devices):
     mesh_dir = str(tmp_path / "mesh")
     build_octree(host_dir, 0.01, batch)
     build_octree(mesh_dir, 0.01, batch, mesh=_cpu_mesh(n_devices))
-    fa, fb = sorted(os.listdir(host_dir)), sorted(os.listdir(mesh_dir))
-    assert fa == fb
-    for f in fa:
-        with open(os.path.join(host_dir, f), "rb") as a, open(
-            os.path.join(mesh_dir, f), "rb"
-        ) as b:
-            assert a.read() == b.read(), (n_devices, f)
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert_dirs_byte_equal(host_dir, mesh_dir, context=f"mesh({n_devices})")
 
 
 def test_exact_build_never_touches_f32_stats_path(tmp_path, monkeypatch):

@@ -12,12 +12,9 @@ from point_cloud_viewer_tpu.octree.streaming import build_octree_streaming
 
 
 def _assert_same_output(a: str, b: str):
-    fa, fb = sorted(os.listdir(a)), sorted(os.listdir(b))
-    assert fa == fb
-    for name in fa:
-        ba = open(os.path.join(a, name), "rb").read()
-        bb = open(os.path.join(b, name), "rb").read()
-        assert ba == bb, f"{name} differs"
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert_dirs_byte_equal(a, b, context="streaming vs in-core")
 
 
 def _compare(tmp_path, batch, resolution, bucket_levels=2, batches=None):

@@ -61,6 +61,7 @@ def test_http_data_provider_live(octree_dir):
         assert len(batch) > 0
     finally:
         server.shutdown()
+        server.server_close()
 
 
 def test_bfs_traversal(octree_dir):

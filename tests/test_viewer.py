@@ -111,7 +111,14 @@ def test_node_view_container_lru_and_shuffle(octree_dir):
         time.sleep(0.01)
     # LRU keeps at most 2.
     assert len(container._cache) <= 2
-    view = container.get_or_request(ids[-1]) or container.get_or_request(ids[-2])
+    # Arrival order is nondeterministic (4 loader threads), so the cache
+    # may hold ANY two: drive the renderer's real loop — request until the
+    # async reload lands — instead of assuming ids[-1] survived.
+    view = None
+    while view is None and time.time() < deadline:
+        container.consume_arrived()
+        view = container.get_or_request(ids[-1])
+        time.sleep(0.01)
     assert view is not None
     # The prefix is a subsample, not the sorted head: positions of the first
     # tenth must span most of the node's extent.

@@ -40,6 +40,7 @@ def served_octree(tmp_path_factory):
     thread.start()
     yield f"http://127.0.0.1:{port}", out
     server.shutdown()
+    server.server_close()
 
 
 def _get(url: str) -> bytes:
@@ -128,7 +129,9 @@ def test_unknown_tree_404(served_octree):
     base, _ = served_octree
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base}/visible_nodes/nosuch/?matrix={','.join(['1.0'] * 16)}")
-    assert e.value.code in (404, 500)
+    # Strictly 404: a 500 would mean an unhandled server exception, not
+    # the graceful unknown-tree rejection this contract tests.
+    assert e.value.code == 404
 
 
 def test_xray_server(tmp_path):
@@ -173,6 +176,7 @@ def test_xray_server(tmp_path):
             _get(f"{base}/node_image/r9")
     finally:
         server.shutdown()
+        server.server_close()
 
 
 def test_cli_build_and_query(tmp_path, capsys):
@@ -294,6 +298,7 @@ def test_float64_wire_decode_preserves_resolution(tmp_path):
                      json.dumps(["r"]).encode())
     finally:
         server.shutdown()
+        server.server_close()
 
     minx, miny, minz, edge = struct.unpack_from("<dddd", blob, 0)
     num_points, bpc = struct.unpack_from("<IB", blob, 32)

@@ -222,11 +222,8 @@ def test_build_xray_quadtree_device_byte_identical(cloud_dir, tmp_path):
         build_xray_quadtree(
             "xray", params, strategy_kwargs={"device": device}, num_threads=2
         )
-    fa = sorted(os.listdir(str(tmp_path / "host")))
-    fb = sorted(os.listdir(str(tmp_path / "dev")))
-    assert fa == fb and len(fa) > 3
-    for f in fa:
-        with open(tmp_path / "host" / f, "rb") as a, open(
-            tmp_path / "dev" / f, "rb"
-        ) as b:
-            assert a.read() == b.read(), f
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert len(os.listdir(str(tmp_path / "host"))) > 3
+    assert_dirs_byte_equal(str(tmp_path / "host"), str(tmp_path / "dev"),
+                           context="xray device vs host")
