@@ -146,6 +146,42 @@ while time.time() < DEADLINE and it < MAX_ITERS:
                 d = np.max(local - half, axis=1)
                 assert (d <= np.sqrt(3) * res + 1e-9).all() and (d >= -np.sqrt(3) * res - 1e-9).all(), (
                     f"{tag}: OBB flips beyond envelope: {d.min()} {d.max()}")
+        if n > 0 and "color" in which and n <= 60_000 and rng.random() < 0.5:
+            # Frustum differential: eye outside the cloud looking at a
+            # random interior target.
+            eye_pos = lo + (rng.random(3) - 0.5) * span * 4.0
+            look = lo + rng.random(3) * span
+            fwd = look - eye_pos
+            if np.linalg.norm(fwd) > 1e-9:
+                fwd /= np.linalg.norm(fwd)
+                zax = np.array([0.0, 0.0, 1.0])
+                axis = np.cross(zax, -fwd)  # camera looks down -z
+                s_ = np.linalg.norm(axis)
+                ang = float(np.arctan2(s_, np.dot(zax, -fwd)))
+                iso = Isometry.from_axis_angle(
+                    axis / s_ if s_ > 1e-12 else zax, ang, translation=eye_pos
+                )
+                far = max(float(np.linalg.norm(span) * 6), 1.0)
+                fr = Frustum.new(iso, Perspective.from_fov(
+                    float(rng.uniform(0.4, 1.6)), float(rng.uniform(0.6, 1.5)),
+                    0.1, far))
+                # Ground truth on the DECODED positions — exactly what the
+                # engine filters — so the comparison is EXACT, no envelope.
+                client = PointCloudClient.from_locations([qdir], batch_size=7919)
+                decoded = np.empty((n, 3))
+                for bt in client.stream(PointQuery(attributes=["color"])):
+                    c = bt.attributes["color"].astype(np.uint32)
+                    di = (c[:, 0] << 16) | (c[:, 1] << 8) | c[:, 2]
+                    decoded[di] = bt.position
+                expected = np.nonzero(fr.contains(decoded))[0]
+                got = []
+                for bt in client.stream(PointQuery(attributes=["color"],
+                                                   location=GeometryLocation(fr))):
+                    c = bt.attributes["color"].astype(np.uint32)
+                    got.append((c[:, 0] << 16) | (c[:, 1] << 8) | c[:, 2])
+                got = np.sort(np.concatenate(got)) if got else np.empty(0, np.uint32)
+                assert np.array_equal(got, expected), (
+                    f"{tag}: frustum query != frustum test on decoded points")
         print(f"OK {tag}")
     except Exception:
         print(f"FAIL {tag}", flush=True)
