@@ -113,3 +113,23 @@ def test_view_cli(octree_dir, tmp_path, capsys):
     import os
 
     assert os.path.exists(shot)
+
+
+def test_every_cli_parses_help():
+    """All 12 CLI modules import and answer --help (an import-time or
+    argparse regression in any tool fails here, without running builds)."""
+    import importlib
+
+    import pytest as _pytest
+
+    names = [
+        "build_octree", "build_s2", "build_xray_quadtree", "export_ply",
+        "inpaint_xray_quadtree", "merge_xray_quadtrees", "points_web_viewer",
+        "query_points", "upgrade_octree", "upgrade_xray_quadtree", "view",
+        "xray_web_viewer",
+    ]
+    for name in names:
+        mod = importlib.import_module(f"point_cloud_viewer_tpu.cli.{name}")
+        with _pytest.raises(SystemExit) as e:
+            mod.main(["--help"])
+        assert e.value.code == 0, name
