@@ -209,13 +209,19 @@ def test_client_has_reference_render_controls(served_octree):
 
     base, _out = served_octree
     html = urllib.request.urlopen(f"{base}/").read().decode()
-    for control in ("ctl-size", "ctl-alpha", "ctl-gamma", "ctl-maxlevel"):
+    for control in ("ctl-size", "ctl-alpha", "ctl-gamma", "ctl-maxlevel",
+                    "ctl-treeid"):
         assert control in html
     assert "BATCH_SIZE = 50" in html
     assert "MAX_IN_FLIGHT = 3" in html
     assert "250" in html  # settle interval
     assert "maxLevelToDisplay" in html
     assert "gamma" in html and "alpha" in html
+    # First-person controller (reference control.ts:25-194): WASD/arrows +
+    # Q/Z movement, wheel speed scaling with the 0.1 floor, tree switching.
+    for marker in ("KeyW", "KeyQ", "KeyZ", "ArrowUp", "moveSpeed",
+                   "Math.max(0.1", "switchTree"):
+        assert marker in html, marker
 
 
 def test_nodes_data_batched_posts(served_octree):
