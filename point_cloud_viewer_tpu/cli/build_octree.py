@@ -46,6 +46,11 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--bucket_levels", type=int, default=2)
     parser.add_argument(
+        "--num_threads", type=int, default=None,
+        help="Node-file write pool size — set as high as possible for "
+        "SSDs (reference build_octree.rs:36-38; default: cpu-derived).",
+    )
+    parser.add_argument(
         "--spill_directory",
         default=None,
         help="Spill directory for --streaming builds; giving one makes the "
@@ -61,6 +66,12 @@ def main(argv=None) -> int:
         )
     if args.spill_directory and not args.streaming:
         parser.error("--spill_directory requires --streaming")
+    if args.num_threads is not None:
+        if args.num_threads <= 0:
+            parser.error("--num_threads must be positive")
+        import os
+
+        os.environ["PCV_WRITE_THREADS"] = str(args.num_threads)
     if args.streaming:
         from ..io.ply import PlyReader
         from ..octree.streaming import build_octree_streaming

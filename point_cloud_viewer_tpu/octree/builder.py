@@ -987,7 +987,13 @@ def _write_levels(
     (prefix.level + level) — the deep-subtree writer for trees past the
     u64 code budget (cube subdivision and per-level encodings stay exact:
     both are powers-of-two divisions of the same f64 root edge)."""
-    pool = ThreadPoolExecutor(max_workers=min(32, max(4, os.cpu_count() or 4)))
+    # Node-file write parallelism (IO-bound): PCV_WRITE_THREADS overrides —
+    # the analogue of the reference CLI's --num_threads rayon pool size
+    # ("set as high as possible for SSDs", src/bin/build_octree.rs:36-38).
+    workers = int(os.environ.get("PCV_WRITE_THREADS", "0") or 0)
+    if workers <= 0:
+        workers = min(32, max(4, os.cpu_count() or 4))
+    pool = ThreadPoolExecutor(max_workers=workers)
     try:
         return _write_levels_pooled(
             pool, directory, batch, order, final_nodes, root_cube,
