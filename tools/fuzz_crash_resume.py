@@ -25,6 +25,9 @@ HOOKS = {
     "spill_append": (S._BucketSpill, "append"),
     # builder.py binds write_node_files at import: patch ITS binding.
     "write_node": (B, "write_node_files"),
+    # Device (pipelined) bucket route: dispatch and completion stages.
+    "dev_dispatch": (S, "_dispatch_device_bucket"),
+    "dev_finish": (S, "_finish_device_bucket"),
 }
 REAL = {k: getattr(mod, name) for k, (mod, name) in HOOKS.items()}
 
@@ -61,8 +64,9 @@ while time.time() < DEADLINE and it < MAX_ITERS:
         "color": rng.integers(0, 256, (n, 3), dtype=np.uint8)})
     bl = int(rng.choice([1, 2]))
     res = float(rng.choice([0.01, 0.05]))
+    use_device = bool(rng.random() < 0.3)  # pipelined device bucket route
     base = tempfile.mkdtemp(prefix="rfuzz_")
-    tag = f"it{it} seed={seed} n={n} bl={bl} res={res}"
+    tag = f"it{it} seed={seed} n={n} bl={bl} res={res} dev={use_device}"
     try:
         ref = os.path.join(base, "ref")
         S.build_octree_streaming(ref, res, batch, bucket_levels=bl)
@@ -75,13 +79,17 @@ while time.time() < DEADLINE and it < MAX_ITERS:
             attempts += 1
             assert attempts < 30, f"{tag}: did not converge"
             if rng.random() < 0.75:   # 25%: let this attempt run clean
-                hook = hooks[int(rng.integers(0, len(hooks)))]
-                hi = {"bucket": 9, "spill_append": 2, "write_node": 60}[hook]
+                pool = hooks if not use_device else [
+                    "spill_append", "write_node", "dev_dispatch", "dev_finish"]
+                hook = pool[int(rng.integers(0, len(pool)))]
+                hi = {"bucket": 9, "spill_append": 2, "write_node": 60,
+                      "dev_dispatch": 9, "dev_finish": 9}[hook]
                 with_crash(hook, int(rng.integers(1, hi)))
             try:
                 S.build_octree_streaming(
                     crash_dir, res, batch, bounding_box=bbox,
                     bucket_levels=bl, spill_directory=spill,
+                    use_device=use_device,
                 )
                 break  # completed
             except Boom:

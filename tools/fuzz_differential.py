@@ -11,13 +11,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from point_cloud_viewer_tpu.core.points_batch import PointsBatch
-from point_cloud_viewer_tpu.math.geometry import Aabb, Cube, Frustum, Isometry, Obb, Perspective
+from point_cloud_viewer_tpu.math.geometry import Aabb, Frustum, Isometry, Obb, Perspective
 from point_cloud_viewer_tpu.octree.builder import build_octree
 from point_cloud_viewer_tpu.octree.streaming import build_octree_streaming
 from point_cloud_viewer_tpu.parallel.mesh import make_mesh
 from point_cloud_viewer_tpu.query.client import PointCloudClient
 from point_cloud_viewer_tpu.query.point_query import PointQuery
-from point_cloud_viewer_tpu.query.location import AllPoints, GeometryLocation
+from point_cloud_viewer_tpu.query.location import GeometryLocation
 
 DEADLINE = time.time() + float(sys.argv[1]) if len(sys.argv) > 1 else time.time() + 600
 
