@@ -990,7 +990,10 @@ def _write_levels(
     # Node-file write parallelism (IO-bound): PCV_WRITE_THREADS overrides —
     # the analogue of the reference CLI's --num_threads rayon pool size
     # ("set as high as possible for SSDs", src/bin/build_octree.rs:36-38).
-    workers = int(os.environ.get("PCV_WRITE_THREADS", "0") or 0)
+    try:
+        workers = int(os.environ.get("PCV_WRITE_THREADS", "0") or 0)
+    except ValueError:
+        workers = 0  # a typo'd env var must not kill the build mid-way
     if workers <= 0:
         workers = min(32, max(4, os.cpu_count() or 4))
     pool = ThreadPoolExecutor(max_workers=workers)

@@ -79,8 +79,9 @@ while time.time() < DEADLINE and it < MAX_ITERS:
             attempts += 1
             assert attempts < 30, f"{tag}: did not converge"
             if rng.random() < 0.75:   # 25%: let this attempt run clean
-                pool = hooks if not use_device else [
-                    "spill_append", "write_node", "dev_dispatch", "dev_finish"]
+                pool = (["bucket", "spill_append", "write_node"]
+                        if not use_device else
+                        ["spill_append", "write_node", "dev_dispatch", "dev_finish"])
                 hook = pool[int(rng.integers(0, len(pool)))]
                 hi = {"bucket": 9, "spill_append": 2, "write_node": 60,
                       "dev_dispatch": 9, "dev_finish": 9}[hook]
