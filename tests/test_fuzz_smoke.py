@@ -29,3 +29,8 @@ def test_fuzz_differential_smoke():
 
 def test_fuzz_crash_resume_smoke():
     _run("fuzz_crash_resume.py", 12, seed=2)
+
+
+# tools/fuzz_xray.py has no smoke twin: each fresh config compiles new jit
+# programs (~1-2 min in a cold subprocess), far past a unit-test budget.
+# It runs out-of-band; campaign results live in ROUND_NOTES.md.
