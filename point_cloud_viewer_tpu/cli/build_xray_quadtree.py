@@ -90,7 +90,16 @@ def main(argv=None) -> int:
     from ..xray.build import XrayParameters, build_xray_quadtree
     from ..xray.quadtree import QuadNodeId
 
-    client = PointCloudClient.from_locations(args.locations)
+    # Each tile worker streams through its own per-call client worker set;
+    # keep tile_threads x client_threads ~ core count instead of the
+    # default (cpus-1) PER TILE (8 tiles x 31 workers on a 32-core host).
+    import os as _os
+
+    cpus = _os.cpu_count() or 2
+    tile_threads = args.num_threads or max(2, min(8, cpus))
+    client = PointCloudClient.from_locations(
+        args.locations, num_threads=max(1, cpus // tile_threads)
+    )
     params = XrayParameters(
         output_directory=args.output_directory,
         point_cloud_client=client,

@@ -26,7 +26,11 @@ _disabled = False
 
 
 def disabled():
-    """Context manager forcing the numpy fallbacks (for baseline benches)."""
+    """Context manager forcing the numpy fallbacks (for baseline benches).
+
+    PROCESS-GLOBAL and not reentrant: it flips a module flag every thread
+    sees, so only use it from single-threaded bench/test code — never
+    around work that overlaps viewer loaders or query workers."""
     import contextlib
 
     @contextlib.contextmanager
@@ -43,14 +47,24 @@ def disabled():
 
 
 def _build() -> bool:
+    # Compile to a private temp file and os.replace into place: another
+    # process may be dlopen-ing (or already executing) the .so — writing it
+    # in place would hand them a truncated library (OSError at load, or
+    # SIGBUS in a running process when a new page faults in).
+    tmp = f"{_SO}.build.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-pthread", "-o", _SO, _SRC,
+        "-pthread", "-o", tmp, _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -17,6 +17,7 @@ Node point data is decoded through io.node_io.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -74,6 +75,10 @@ class _LazyNodeIds:
 
 class Octree:
     """An on-disk octree opened for querying/serving."""
+
+    # Class-level: guards the lazy node-id index build; class-level (not
+    # per-instance) so Octree.__new__-constructed synthetic trees have it.
+    _index_lock = threading.Lock()
 
     def __init__(self, data_provider: DataProvider) -> None:
         self.data_provider = data_provider
@@ -272,11 +277,16 @@ class Octree:
 
     def node_meta(self, node_id: NodeId) -> NodeMeta:
         if self._index is None:
-            lv = self.levels.astype(object)
-            hi = self.path_hi.astype(object)
-            lo = self.path_lo.astype(object)
-            values = (lv << 120) | (hi << 64) | lo
-            self._index = {int(v): i for i, v in enumerate(values)}
+            # Locked: HTTP handler threads + viewer loaders all hit the
+            # first node_meta at startup; without the lock each would
+            # repeat this whole GIL-bound bigint index build.
+            with self._index_lock:
+                if self._index is None:
+                    lv = self.levels.astype(object)
+                    hi = self.path_hi.astype(object)
+                    lo = self.path_lo.astype(object)
+                    values = (lv << 120) | (hi << 64) | lo
+                    self._index = {int(v): i for i, v in enumerate(values)}
         i = self._index[node_id.value]
         return NodeMeta(
             num_points=int(self.num_points[i]),

@@ -37,7 +37,8 @@ class GlNodeViewContainer(NodeViewContainer):
             dt = meta.position_encoding.numpy_dtype
             positions = np.frombuffer(pos_bytes, dtype=dt).reshape(-1, 3)
             colors = np.frombuffer(color_bytes, dtype=np.uint8).reshape(-1, 3)
-            perm = self._rng.permutation(len(positions))
+            # Per-node seed: see render_loop.NodeViewContainer._load.
+            perm = np.random.default_rng(node_id.value ^ 2).permutation(len(positions))
             payload = (
                 positions[perm], colors[perm], meta.position_encoding,
                 meta.cube_min, meta.edge_length,

@@ -22,7 +22,6 @@ import queue
 import threading
 import time
 from collections import OrderedDict
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -49,6 +48,41 @@ class NodeView:
         return self.positions[:n], self.colors[:n]
 
 
+class _DaemonPool:
+    """Fixed-size pool of DAEMON worker threads.  Unlike the stdlib
+    ThreadPoolExecutor (whose non-daemon workers are JOINED at interpreter
+    exit), a node load wedged on a hung remote data provider cannot block
+    process exit — the same guarantee the renderer's bounded thread join
+    provides for the visible-node thread."""
+
+    def __init__(self, max_workers: int, name: str) -> None:
+        self._q: "queue.Queue" = queue.Queue()
+        self._threads = [
+            threading.Thread(target=self._run, daemon=True, name=f"{name}-{i}")
+            for i in range(max_workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args = item
+            try:
+                fn(*args)
+            except Exception:  # noqa: BLE001 - loaders report via queues
+                pass
+
+    def submit(self, fn, *args) -> None:
+        self._q.put((fn, args))
+
+    def shutdown(self, **_ignored) -> None:
+        for _ in self._threads:
+            self._q.put(None)
+
+
 class NodeViewContainer:
     """LRU cache + async loader (reference node_drawer.rs:263-336)."""
 
@@ -58,14 +92,16 @@ class NodeViewContainer:
         self._cache: "OrderedDict[int, NodeView]" = OrderedDict()
         self._in_flight: Dict[int, bool] = {}
         self._arrived: "queue.Queue" = queue.Queue()
-        self._pool = ThreadPoolExecutor(max_workers=4)
+        self._pool = _DaemonPool(max_workers=4, name="pcv-node-loader")
         self._lock = threading.Lock()
-        self._rng = np.random.default_rng(2)
 
     def _load(self, node_id: NodeId) -> None:
         try:
             batch = self.octree.points_in_node(node_id, attributes=["color"])
-            perm = self._rng.permutation(len(batch))
+            # Seed per NODE ID: deterministic LOD subsamples regardless of
+            # which loader thread runs which node (a single shared seeded
+            # generator would be consumed in completion order).
+            perm = np.random.default_rng(node_id.value ^ 2).permutation(len(batch))
             view = NodeView(
                 positions=batch.position[perm],
                 colors=batch.attributes["color"][perm],
@@ -105,7 +141,7 @@ class NodeViewContainer:
         return None
 
     def shutdown(self) -> None:
-        self._pool.shutdown(wait=False, cancel_futures=True)
+        self._pool.shutdown()
 
 
 @dataclass
@@ -191,28 +227,38 @@ class PointCloudRenderer:
                     break
             # Cap at the node-cache capacity: nothing beyond it can be
             # drawn, and the top-K cull is much cheaper at ~1M-node scale.
-            if self.device_cull:
-                try:
-                    visible = self._device_visible(matrix)
-                except Exception as e:  # noqa: BLE001 - degrade, don't die
-                    # A dead/unreachable accelerator must not leave the
-                    # viewer frozen on an empty node list: fall back to the
-                    # host cull for the rest of the session.
-                    import sys
+            try:
+                if self.device_cull:
+                    try:
+                        visible = self._device_visible(matrix)
+                    except Exception as e:  # noqa: BLE001 - degrade, don't die
+                        # A dead/unreachable accelerator must not leave the
+                        # viewer frozen on an empty node list: fall back to
+                        # the host cull for the rest of the session.
+                        import sys
 
-                    print(
-                        f"viewer: device cull failed ({type(e).__name__}: "
-                        f"{e}); falling back to host culling",
-                        file=sys.stderr,
-                    )
-                    self.device_cull = False
+                        print(
+                            f"viewer: device cull failed ({type(e).__name__}: "
+                            f"{e}); falling back to host culling",
+                            file=sys.stderr,
+                        )
+                        self.device_cull = False
+                        visible = self.octree.get_visible_nodes(
+                            matrix, max_nodes=self.node_views.max_nodes
+                        )
+                else:
                     visible = self.octree.get_visible_nodes(
                         matrix, max_nodes=self.node_views.max_nodes
                     )
-            else:
-                visible = self.octree.get_visible_nodes(
-                    matrix, max_nodes=self.node_views.max_nodes
-                )
+            except Exception as e:  # noqa: BLE001 - a bad frame must not
+                # kill this thread: a singular/NaN matrix (corrupt pose
+                # slot, degenerate camera) raises in Frustum/inv; keep the
+                # previous visible set and wait for the next camera update.
+                import sys
+
+                print(f"viewer: cull failed ({type(e).__name__}: {e}); "
+                      "keeping previous visible set", file=sys.stderr)
+                continue
             with self._visible_lock:
                 self._visible = visible
 

@@ -53,22 +53,38 @@ class AppState:
         self.cache_items = cache_items
         self._cache: "OrderedDict[str, Octree]" = OrderedDict()
         self._lock = threading.Lock()
+        self._loading: dict = {}  # id -> Event: single-flight loads
 
     def octree_address(self, octree_id: str) -> str:
         return os.path.join(self.prefix, octree_id, self.suffix).rstrip("/")
 
     def load_octree(self, octree_id: str) -> Octree:
-        with self._lock:
-            if octree_id in self._cache:
+        # Single-flight: concurrent requests for the same uncached id (the
+        # client fires /visible_nodes and /nodes_data together on startup)
+        # must not each run the full multi-second Octree load.
+        while True:
+            with self._lock:
+                if octree_id in self._cache:
+                    self._cache.move_to_end(octree_id)
+                    return self._cache[octree_id]
+                ev = self._loading.get(octree_id)
+                if ev is None:
+                    ev = threading.Event()
+                    self._loading[octree_id] = ev
+                    break  # we are the loader
+            ev.wait()  # another handler is loading it; retry once done
+        try:
+            octree = Octree.from_directory(self.octree_address(octree_id))
+            with self._lock:
+                self._cache[octree_id] = octree
                 self._cache.move_to_end(octree_id)
-                return self._cache[octree_id]
-        octree = Octree.from_directory(self.octree_address(octree_id))
-        with self._lock:
-            self._cache[octree_id] = octree
-            self._cache.move_to_end(octree_id)
-            while len(self._cache) > self.cache_items:
-                self._cache.popitem(last=False)
-        return octree
+                while len(self._cache) > self.cache_items:
+                    self._cache.popitem(last=False)
+            return octree
+        finally:
+            with self._lock:
+                self._loading.pop(octree_id, None)
+            ev.set()
 
 
 def _pad8(blob: bytearray) -> None:
