@@ -330,3 +330,57 @@ def test_joystick_mappings():
     np.testing.assert_allclose(cam2._pan, [1.0, -1.0, 1.0])
     # up = 0.5, around = 0.2 - 0.8 = -0.6
     np.testing.assert_allclose(cam2._rotation_speed, [-0.6, 0.5])
+
+
+def test_lod_subsample_deterministic_per_node(octree_dir):
+    """LOD subsample order is a function of the NODE ID alone — two
+    independent containers (different loader threads, different arrival
+    order) must produce identical shuffled prefixes."""
+    octree = Octree.from_directory(octree_dir)
+    nid = next(n for n in octree.node_ids if octree.node_meta(n).num_points > 100)
+    views = []
+    for _ in range(2):
+        container = NodeViewContainer(octree, max_nodes_in_memory=4)
+        deadline = time.time() + 60
+        view = None
+        while view is None and time.time() < deadline:
+            container.consume_arrived()
+            view = container.get_or_request(nid)
+            time.sleep(0.01)
+        assert view is not None
+        views.append(view)
+        container.shutdown()
+    assert np.array_equal(views[0].positions, views[1].positions)
+    assert np.array_equal(views[0].colors, views[1].colors)
+
+
+def test_cull_thread_survives_degenerate_matrix(octree_dir):
+    """A singular camera matrix (corrupt pose slot) raises LinAlgError in
+    the frustum inverse; the visible-node thread must keep the previous
+    visible set and stay alive for the next camera update."""
+    octree = Octree.from_directory(octree_dir)
+    r = PointCloudRenderer(octree, width=160, height=120)
+    try:
+        cam = Camera(160, 120)
+        cam.position = np.array([5.0, 5.0, 25.0])  # above the 10m cloud
+        good = cam.world_to_gl()
+        deadline = time.time() + 60
+        r.camera_changed(good)
+        while time.time() < deadline:
+            with r._visible_lock:
+                before = list(r._visible)
+            if before:
+                break
+            time.sleep(0.01)
+        assert before, "good matrix never produced a visible set"
+        r.camera_changed(np.zeros((4, 4)))  # singular: raises inside cull
+        time.sleep(0.3)
+        assert r._thread.is_alive()
+        with r._visible_lock:
+            assert list(r._visible) == before  # previous set kept
+        # Thread still processes subsequent updates.
+        r.camera_changed(good)
+        time.sleep(0.3)
+        assert r._thread.is_alive()
+    finally:
+        r.shutdown()

@@ -2,8 +2,10 @@
 blob layout validation, and CLI smoke tests."""
 
 import json
+import os
 import struct
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -321,3 +323,39 @@ def test_float64_wire_decode_preserves_resolution(tmp_path):
     # keeps this fixture honest about what the recipe change buys.
     old = t.astype(np.float32).astype(np.float64) * edge + [minx, miny, minz] - offset
     assert np.abs(old - rel).max() > res
+
+
+def test_load_octree_single_flight(served_octree, monkeypatch):
+    """Concurrent first requests for one uncached id run the multi-second
+    Octree load exactly ONCE (the client fires /visible_nodes and
+    /nodes_data together on startup)."""
+    _, out = served_octree
+    from point_cloud_viewer_tpu.viewer.web_backend import AppState
+
+    state = AppState(prefix=os.path.dirname(out))
+    loads = []
+    real = Octree.from_directory.__func__
+
+    def slow(cls, d):
+        loads.append(d)
+        time.sleep(0.2)  # widen the race window past thread startup skew
+        return real(cls, d)
+
+    monkeypatch.setattr(Octree, "from_directory", classmethod(slow))
+    got = []
+    threads = [
+        threading.Thread(target=lambda: got.append(state.load_octree("mycloud")))
+        for _ in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(loads) == 1
+    assert len(got) == 6 and all(o is got[0] for o in got)
+    # A failing load must not wedge later callers (the event is always set,
+    # the loading slot always cleared): both attempts raise, neither hangs.
+    for _ in range(2):
+        with pytest.raises(FileNotFoundError):
+            state.load_octree("nosuch")
+    assert not state._loading
