@@ -225,6 +225,16 @@ class PointCloudRenderer:
                     matrix = self._matrix_queue.get_nowait()
                 except queue.Empty:
                     break
+            # A non-finite matrix (NaN pose) does NOT raise: NaN SAT
+            # comparisons cull nothing, so every node in a 1M-node tree
+            # would go "visible" and storm the loader. Treat it like the
+            # raising degenerate cases below: keep the previous set.
+            if not np.isfinite(matrix).all():
+                import sys
+
+                print("viewer: non-finite camera matrix; keeping previous "
+                      "visible set", file=sys.stderr)
+                continue
             # Cap at the node-cache capacity: nothing beyond it can be
             # drawn, and the top-K cull is much cheaper at ~1M-node scale.
             try:

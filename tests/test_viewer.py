@@ -378,6 +378,13 @@ def test_cull_thread_survives_degenerate_matrix(octree_dir):
         assert r._thread.is_alive()
         with r._visible_lock:
             assert list(r._visible) == before  # previous set kept
+        # Non-finite matrices don't raise — NaN SAT comparisons cull
+        # nothing — but must ALSO keep the previous set (loader-storm guard).
+        r.camera_changed(np.full((4, 4), np.nan))
+        time.sleep(0.3)
+        assert r._thread.is_alive()
+        with r._visible_lock:
+            assert list(r._visible) == before
         # Thread still processes subsequent updates.
         r.camera_changed(good)
         time.sleep(0.3)
