@@ -24,6 +24,22 @@ from ..ops.codec import PositionEncoding, decode_positions
 from ..protos.meta import MetaProto
 
 
+def attempt_increasing_rlimit_to_max() -> None:
+    """Raise this process's open-file soft limit to its hard limit, failing
+    silently — builds open one file per (node, attribute) and users hit
+    'cannot open more files' otherwise (reference:
+    src/read_write/mod.rs:43-56, called at the top of build_octree,
+    src/octree/generation.rs:296)."""
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        if soft != hard:
+            resource.setrlimit(resource.RLIMIT_NOFILE, (hard, hard))
+    except Exception:  # noqa: BLE001 - best-effort, like the reference
+        pass
+
+
 class DataProvider:
     """Storage abstraction: metadata bytes + per-node attribute blobs
     (reference trait: src/data_provider/common.rs:6-13)."""

@@ -144,6 +144,9 @@ def build_octree(
             echo=f"build_octree: {label}" if progress else None,
         )
 
+    from ..io.node_io import attempt_increasing_rlimit_to_max
+
+    attempt_increasing_rlimit_to_max()
     batch = _materialize(data)
     if attributes is not None:
         missing = [a for a in attributes if a not in batch.attributes]

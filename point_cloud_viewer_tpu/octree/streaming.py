@@ -180,6 +180,9 @@ def build_octree_streaming(
     """
     import json
 
+    from ..io.node_io import attempt_increasing_rlimit_to_max
+
+    attempt_increasing_rlimit_to_max()
     os.makedirs(output_directory, exist_ok=True)
 
     if (

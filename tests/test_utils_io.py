@@ -133,3 +133,21 @@ def test_every_cli_parses_help():
         with _pytest.raises(SystemExit) as e:
             mod.main(["--help"])
         assert e.value.code == 0, name
+
+
+def test_attempt_increasing_rlimit_to_max():
+    """The open-file soft limit equals the hard limit after the helper runs
+    (reference: src/read_write/mod.rs:43-56) — and build_octree invokes it
+    (soft stays raised after a build even if this test lowered it first)."""
+    import resource
+
+    from point_cloud_viewer_tpu.io.node_io import attempt_increasing_rlimit_to_max
+
+    soft0, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    try:
+        lowered = max(hard // 2, 256) if hard != resource.RLIM_INFINITY else 1024
+        resource.setrlimit(resource.RLIMIT_NOFILE, (lowered, hard))
+        attempt_increasing_rlimit_to_max()
+        assert resource.getrlimit(resource.RLIMIT_NOFILE)[0] == hard
+    finally:
+        resource.setrlimit(resource.RLIMIT_NOFILE, (soft0, hard))
