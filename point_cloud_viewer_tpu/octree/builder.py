@@ -36,7 +36,7 @@ import numpy as np
 
 from ..core.constants import CURRENT_VERSION, MAX_POINTS_PER_NODE, META_FILENAME
 from ..core.points_batch import PointsBatch
-from ..io.node_io import write_node_files
+from ..io.node_io import attempt_increasing_rlimit_to_max, write_node_files
 from ..math.geometry import Aabb, Cube
 from ..ops import morton
 from ..ops.codec import encode_positions, position_encoding_for
@@ -143,8 +143,6 @@ def build_octree(
             phase_times, label,
             echo=f"build_octree: {label}" if progress else None,
         )
-
-    from ..io.node_io import attempt_increasing_rlimit_to_max
 
     attempt_increasing_rlimit_to_max()
     batch = _materialize(data)

@@ -194,9 +194,14 @@ class _TileSet:
         }
 
     def load(self, spatial: Optional[SpatialNodeId]) -> Optional[np.ndarray]:
-        if spatial is None or spatial not in self.by_spatial:
+        # Load by on-disk path, NOT restricted to the leaf set: the
+        # reference stitches from any tile present in the directory
+        # (inpaint.rs:64-70 image_from_path), which is what lets imported
+        # adjacent-quadtree leaf tiles contribute to border inpainting.
+        if spatial is None:
             return None
-        path = image_path(self.directory, self.by_spatial[spatial])
+        node_id = self.by_spatial.get(spatial) or spatial.to_node_id()
+        path = image_path(self.directory, node_id)
         if not os.path.exists(path):
             return None
         return np.asarray(Image.open(path).convert("RGBA"))
@@ -323,3 +328,45 @@ def perform_inpainting(
         os.remove(path)
 
     run(apply, spatials)
+
+
+def get_adjacent_leaf_node_ids(
+    leaf_node_ids: Iterable[QuadNodeId],
+    input_directory: str,
+    root_node_id: QuadNodeId,
+) -> set:
+    """Leaf tiles of the four side-adjacent partial quadtrees that border
+    this quadtree (reference: xray/src/bin/inpaint_xray_quadtree.rs:41-71).
+
+    Partial quadtrees built with --root_node_id share one global quadtree
+    coordinate system, so a neighbor quadtree's ``meta<id>.pb`` (expected
+    to have been copied into input_directory alongside its border leaf
+    tiles) lists node ids directly comparable with ours: keep each
+    neighbor deepest-level tile whose opposite-direction neighbor is one
+    of our leaves."""
+    from .build import meta_pb_path
+    from .meta import XrayMeta
+
+    leaf_set = set(leaf_node_ids)
+    adjacent = set()
+    for direction in (
+        Direction.LEFT,
+        Direction.TOP,
+        Direction.RIGHT,
+        Direction.BOTTOM,
+    ):
+        neighbor_root = root_node_id.neighbor(direction)
+        if neighbor_root is None:
+            continue
+        path = meta_pb_path(input_directory, neighbor_root)
+        if not os.path.exists(path):
+            continue
+        neighbor_meta = XrayMeta.from_directory(
+            input_directory, os.path.basename(path)
+        )
+        opposite = direction.opposite()
+        for node_id in neighbor_meta.iter_level(neighbor_meta.deepest_level):
+            toward_us = node_id.neighbor(opposite)
+            if toward_us is not None and toward_us in leaf_set:
+                adjacent.add(node_id)
+    return adjacent

@@ -136,3 +136,116 @@ def test_patchmatch_continues_texture_not_smears():
     truth_var = truth[40:56, 40:56, 0].astype(np.float64).var()
     assert pm_var > truth_var * 0.5, (pm_var, truth_var)
     assert (pm[hole][:, 3] == 255).all()
+
+
+def _write_partial_meta(directory, root, leaves, edge_length, tile_size=32):
+    from point_cloud_viewer_tpu.protos.xray_meta import (
+        RectProto, XrayMetaProto, XrayNodeIdProto,
+    )
+    from point_cloud_viewer_tpu.xray.build import meta_pb_path
+
+    meta = XrayMetaProto(
+        bounding_rect=RectProto(min=(0.0, 0.0), edge_length=edge_length),
+        deepest_level=2, tile_size=tile_size,
+        nodes=[XrayNodeIdProto(root.level, root.index)]
+        + [XrayNodeIdProto(n.level, n.index) for n in leaves],
+    )
+    with open(meta_pb_path(directory, root), "wb") as f:
+        f.write(meta.encode())
+
+
+def test_cli_inpaint_partial_quadtree_cross_border(tmp_path):
+    """The sharded x-ray workflow's third leg (reference
+    inpaint_xray_quadtree.rs:41-145): inpaint a partial quadtree with the
+    adjacent quadtree's border leaf tiles imported — hole pixels at the
+    dataset border must be sampled from ACROSS the border, and the
+    imported tiles removed from the output afterwards."""
+    from point_cloud_viewer_tpu.cli import inpaint_xray_quadtree as cli
+    from point_cloud_viewer_tpu.xray.build import meta_pb_path
+    from point_cloud_viewer_tpu.xray.inpaint import get_adjacent_leaf_node_ids
+
+    inp = os.path.join(str(tmp_path), "in")
+    outp = os.path.join(str(tmp_path), "out")
+    os.makedirs(inp)
+    r0 = QuadNodeId.from_str("r0")
+    r2 = QuadNodeId.from_str("r2")  # r0's RIGHT neighbor at level 1
+    a_leaves = [r0.child(i) for i in range(4)]
+    b_leaves = [r2.child(i) for i in range(4)]
+    red, green = (200, 30, 30), (30, 200, 30)
+    hole_tile = QuadNodeId.from_str("r02")  # right-border leaf of r0
+
+    for nid in a_leaves:
+        img = _tile(red)
+        if nid == hole_tile:
+            img[8:24, 30:32] = 0  # 2px-wide hole at the dataset border
+        Image.fromarray(img, "RGBA").save(image_path(inp, nid))
+    _write_partial_meta(inp, r0, a_leaves, edge_length=32.0)
+
+    # The caller's documented copy step: the neighbor quadtree's
+    # meta<id>.pb plus its border leaf tiles land in the input directory.
+    _write_partial_meta(inp, r2, b_leaves, edge_length=32.0)
+    border = get_adjacent_leaf_node_ids(set(a_leaves), inp, r0)
+    assert border == {
+        n for n in b_leaves if n.to_spatial().x == 2
+    }, border  # exactly B's left-edge (toward us) leaf column
+    for nid in border:
+        Image.fromarray(_tile(green), "RGBA").save(image_path(inp, nid))
+
+    rc = cli.main([
+        inp, "--output_directory", outp, "--root_node_id", "r0",
+        "--inpaint_distance_px", "3",
+    ])
+    assert rc == 0
+
+    out = np.asarray(Image.open(image_path(outp, hole_tile)))
+    hole = out[8:24, 30:32]
+    assert (hole[:, :, 3] == 255).all()
+    # Cross-border sampling: the hole column adjacent to the neighbor
+    # quadtree picks up the neighbor's (green) texture, the column
+    # adjacent to our own interior stays red-dominant.
+    right_col = hole[:, 1, :3].astype(int)
+    assert (right_col[:, 1] > right_col[:, 0]).mean() >= 0.5, right_col
+    left_col = hole[:, 0, :3].astype(int)
+    assert (left_col[:, 0] > left_col[:, 1]).mean() >= 0.5, left_col
+    # Imported adjacent tiles are removed from the output directory.
+    for nid in border:
+        assert not os.path.exists(image_path(outp, nid))
+    # Our leaves, the rebuilt partial root, and the meta were produced.
+    for nid in a_leaves:
+        assert os.path.exists(image_path(outp, nid))
+    assert os.path.exists(image_path(outp, r0))
+    assert os.path.exists(meta_pb_path(outp, r0))
+    # The input directory's hole tile is untouched (output went elsewhere).
+    untouched = np.asarray(Image.open(image_path(inp, hole_tile)))
+    assert (untouched[8:24, 30:32, 3] == 0).all()
+
+
+def test_cli_inpaint_partial_quadtree_without_neighbors_warns(tmp_path, capsys):
+    """Without imported neighbor tiles the border hole is open on one side:
+    it is NOT inpainted (stays sub-threshold) and gets the background
+    color instead; the tool warns like the reference
+    (inpaint_xray_quadtree.rs:113-120)."""
+    from point_cloud_viewer_tpu.cli import inpaint_xray_quadtree as cli
+
+    inp = os.path.join(str(tmp_path), "in")
+    outp = os.path.join(str(tmp_path), "out")
+    os.makedirs(inp)
+    r0 = QuadNodeId.from_str("r0")
+    a_leaves = [r0.child(i) for i in range(4)]
+    hole_tile = QuadNodeId.from_str("r02")
+    for nid in a_leaves:
+        img = _tile((200, 30, 30))
+        if nid == hole_tile:
+            img[8:24, 30:32] = 0
+        Image.fromarray(img, "RGBA").save(image_path(inp, nid))
+    _write_partial_meta(inp, r0, a_leaves, edge_length=32.0)
+
+    rc = cli.main([
+        inp, "--output_directory", outp, "--root_node_id", "r0",
+        "--inpaint_distance_px", "3",
+    ])
+    assert rc == 0
+    assert "adjacent leaf nodes" in capsys.readouterr().err
+    out = np.asarray(Image.open(image_path(outp, hole_tile)))
+    # Border-open hole -> background color (default white), not texture.
+    assert (out[8:24, 30:32, :3] == 255).all()

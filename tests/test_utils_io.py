@@ -135,19 +135,36 @@ def test_every_cli_parses_help():
         assert e.value.code == 0, name
 
 
-def test_attempt_increasing_rlimit_to_max():
+def test_attempt_increasing_rlimit_to_max(tmp_path):
     """The open-file soft limit equals the hard limit after the helper runs
     (reference: src/read_write/mod.rs:43-56) — and build_octree invokes it
     (soft stays raised after a build even if this test lowered it first)."""
     import resource
 
+    import numpy as np
+
+    from point_cloud_viewer_tpu.core.points_batch import PointsBatch
     from point_cloud_viewer_tpu.io.node_io import attempt_increasing_rlimit_to_max
+    from point_cloud_viewer_tpu.octree.builder import build_octree
 
     soft0, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
     try:
-        lowered = max(hard // 2, 256) if hard != resource.RLIM_INFINITY else 1024
+        if hard == resource.RLIM_INFINITY:
+            lowered = 1024
+        else:
+            # Clamp to the hard limit: on tightly-limited systems hard//2
+            # may undershoot and max(..., 256) may overshoot the hard cap.
+            lowered = min(max(hard // 2, 1), hard)
         resource.setrlimit(resource.RLIMIT_NOFILE, (lowered, hard))
         attempt_increasing_rlimit_to_max()
+        assert resource.getrlimit(resource.RLIMIT_NOFILE)[0] == hard
+
+        # build_octree calls the helper itself: lower again, run a tiny
+        # build, and check the soft limit ends up raised.
+        resource.setrlimit(resource.RLIMIT_NOFILE, (lowered, hard))
+        rng = np.random.default_rng(7)
+        batch = PointsBatch(position=rng.random((64, 3)))
+        build_octree(str(tmp_path / "rlimit_build"), 0.01, batch)
         assert resource.getrlimit(resource.RLIMIT_NOFILE)[0] == hard
     finally:
         resource.setrlimit(resource.RLIMIT_NOFILE, (soft0, hard))
