@@ -37,13 +37,39 @@ class S2Splitter:
         self,
         directory: str,
         split_level: int = DEFAULT_S2_SPLIT_LEVEL,
+        max_open_writers: int = 4096,
     ) -> None:
+        """max_open_writers bounds the LRU of open per-cell file handles.
+
+        The reference keeps 25 open writers (src/read_write/s2.rs:14-135);
+        measured here (ROUND_NOTES r5) a cap of 25 thrashes — each batch
+        appends its cells in sorted order, so with more cells per batch
+        than the cap, LRU hits nothing and the bookkeeping makes it SLOWER
+        than plain open-per-append.  A cap comfortably above the per-batch
+        working set (4096, clamped to half the soft fd limit after the
+        rlimit bump) wins ~1.5-2x on the append path.  0 disables caching
+        (one open/close pair per cell file per batch)."""
+        from collections import OrderedDict
+
+        from ..io.node_io import attempt_increasing_rlimit_to_max
+
         self.directory = directory
         self.split_level = split_level
         self.cell_stats: Dict[int, int] = {}
         self.bounding_box: Optional[Aabb] = None
         self.attributes_seen: Dict[str, AttributeDataType] = {}
         self._truncated: set = set()
+        attempt_increasing_rlimit_to_max()
+        try:
+            import resource
+
+            soft = resource.getrlimit(resource.RLIMIT_NOFILE)[0]
+            if soft != resource.RLIM_INFINITY:
+                max_open_writers = min(max_open_writers, max(soft // 2, 0))
+        except Exception:  # noqa: BLE001 - non-posix: keep the default
+            pass
+        self._max_open_writers = max_open_writers
+        self._writers: "OrderedDict[str, object]" = OrderedDict()
         os.makedirs(directory, exist_ok=True)
 
     def write(self, batch: PointsBatch) -> None:
@@ -71,16 +97,41 @@ class S2Splitter:
         for cid, s0, s1 in zip(unique, starts, ends):
             self._append_cell(int(cid), sorted_batch.slice(int(s0), int(s1)))
 
+    def _writer(self, path: str, mode: str):
+        """An open file handle for `path` from the bounded LRU (or a fresh
+        open when caching is disabled / the handle was evicted)."""
+        if self._max_open_writers <= 0:
+            return open(path, mode), True  # (handle, close_after_use)
+        f = self._writers.pop(path, None)
+        if f is None:
+            f = open(path, mode)
+        self._writers[path] = f
+        if len(self._writers) > self._max_open_writers:
+            _, old = self._writers.popitem(last=False)
+            old.close()
+        return f, False
+
+    def _close_writers(self) -> None:
+        for f in self._writers.values():
+            f.close()
+        self._writers.clear()
+
     def _append_cell(self, cell_id: int, batch: PointsBatch) -> None:
         token = s2.token(cell_id)
         stem = os.path.join(self.directory, token)
         mode = "ab" if cell_id in self._truncated else "wb"
         self._truncated.add(cell_id)
-        with open(stem + ".xyz", mode) as f:
-            f.write(np.ascontiguousarray(batch.position, dtype="<f8").tobytes())
+        f, close = self._writer(stem + ".xyz", mode)
+        f.write(np.ascontiguousarray(batch.position, dtype="<f8").tobytes())
+        if close:
+            f.close()
         for name, arr in batch.attributes.items():
-            with open(stem + "." + attribute_extension(name), mode) as f:
-                f.write(np.ascontiguousarray(arr).tobytes())
+            f, close = self._writer(
+                stem + "." + attribute_extension(name), mode
+            )
+            f.write(np.ascontiguousarray(arr).tobytes())
+            if close:
+                f.close()
         self.cell_stats[cell_id] = self.cell_stats.get(cell_id, 0) + len(batch)
 
     def _check_attributes(self, batch: PointsBatch) -> None:
@@ -94,6 +145,7 @@ class S2Splitter:
 
     def finish(self) -> MetaProto:
         """Write meta.pb and return the proto."""
+        self._close_writers()  # flush before anything reads the cell files
         bbox = self.bounding_box or Aabb.zero()
         meta = MetaProto(
             version=CURRENT_VERSION,

@@ -248,3 +248,49 @@ def test_cell_union_normalize_keeps_ancestors():
     # Duplicates collapse.
     u = CellUnion([int(parent_cell), int(parent_cell)])
     assert list(u.ids) == [int(parent_cell)]
+
+
+def test_splitter_writer_cache_is_byte_transparent(tmp_path):
+    """The bounded LRU of open cell writers (r5; reference keeps 25 open,
+    src/read_write/s2.rs:14-135) is a pure I/O policy: caps 0 (open per
+    append), 1 (evict every time), and the default must produce directories
+    that are byte-identical file for file — including across multi-batch
+    appends and the wb->ab transition."""
+    import os
+
+    from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+    from point_cloud_viewer_tpu.math.wgs84 import local_frame_from_lat_lng
+    from point_cloud_viewer_tpu.s2_cells.splitter import S2Splitter
+
+    rng = np.random.default_rng(7)
+    frame = local_frame_from_lat_lng(12.3, 45.6)
+
+    def batches():
+        for _ in range(4):
+            local = (rng.random((400, 3)) - 0.5) * np.array([800.0, 800.0, 20.0])
+            yield PointsBatch(
+                position=frame.inverse().transform_points(local),
+                attributes={
+                    "color": rng.integers(0, 255, (400, 3), dtype=np.uint8)
+                },
+            )
+
+    data = list(batches())
+    dirs = {}
+    for cap in (0, 1, 4096):
+        d = tmp_path / f"cap{cap}"
+        sp = S2Splitter(str(d), max_open_writers=cap)
+        for b in data:
+            sp.write(b)
+        sp.finish()
+        dirs[cap] = d
+        assert sp._writers == {}  # finish closed everything
+
+    ref_files = sorted(os.listdir(dirs[0]))
+    assert len(ref_files) > 3
+    for cap in (1, 4096):
+        assert sorted(os.listdir(dirs[cap])) == ref_files
+        for name in ref_files:
+            a = (dirs[0] / name).read_bytes()
+            b = (dirs[cap] / name).read_bytes()
+            assert a == b, (cap, name)
