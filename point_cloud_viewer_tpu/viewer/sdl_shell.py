@@ -325,11 +325,15 @@ class SdlBackend:
     Requires libSDL2 and a display; raises RuntimeError otherwise."""
 
     def __init__(self, width: int, height: int,
-                 title: bytes = b"point_cloud_viewer_tpu") -> None:
+                 title: bytes = b"point_cloud_viewer_tpu",
+                 lib_path: str = "libSDL2-2.0.so.0") -> None:
+        """`lib_path` overrides the SDL library to load — production uses
+        the system soname; tests point it at the scriptable ABI stub
+        (native/sdl2_stub.cpp) so the real ctypes marshalling executes."""
         import ctypes
 
         try:
-            lib = ctypes.CDLL("libSDL2-2.0.so.0")
+            lib = ctypes.CDLL(lib_path)
         except OSError as e:
             raise RuntimeError(
                 "libSDL2 is not available in this environment; the windowed "
