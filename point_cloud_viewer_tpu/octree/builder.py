@@ -958,6 +958,90 @@ def _group_subtree_levels(
     return grouped, residual_idx
 
 
+def _group_subtree_levels_from_level_order(
+    codes_unsorted: np.ndarray,
+    order2: np.ndarray,
+    level_counts: np.ndarray,
+    extras_idx: np.ndarray,
+    extras_level: np.ndarray,
+    depth_cap: int,
+    root_level: int,
+) -> Tuple[Dict[int, _LevelNodes], np.ndarray]:
+    """_group_subtree_levels twin consuming the GROUPED device exchange
+    (ops.tree_build.build_tree_device_codes_grouped): `order2` is sorted by
+    (final level, code) with values = original indices, `level_counts` are
+    the per-level run lengths, and `extras_*` are the 1-point leaves whose
+    sole point was promoted away (the empty nodes the reference's
+    subsample also leaves behind, generation.rs:195-253).
+
+    Per level, a node's points are one contiguous order2 run, so the
+    occupied paths+counts come from prefix run boundaries of
+    codes[order2[slice]] — no per-point final/leaf arrays cross the
+    host<->device link.  Returned idx arrays index INTO order2 (callers
+    pass order2 as the write `order`).  Byte-identical to the classic
+    path: tests/test_streaming_build.py pins both routes to one output."""
+    num_levels = depth_cap + 1
+    starts = np.zeros(num_levels + 1, dtype=np.int64)
+    np.cumsum(level_counts[:num_levels], out=starts[1:])
+
+    occupied: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    empty_u64 = np.empty(0, dtype=np.uint64)
+    for level in range(root_level, num_levels):
+        s0, s1 = int(starts[level]), int(starts[level + 1])
+        if s1 <= s0:
+            occupied[level] = (empty_u64, np.empty(0, dtype=np.int64))
+            continue
+        pref = codes_unsorted[order2[s0:s1]] >> np.uint64(
+            3 * (depth_cap - level)
+        )
+        mask = np.empty(len(pref), dtype=bool)
+        mask[0] = True
+        np.not_equal(pref[1:], pref[:-1], out=mask[1:])
+        bounds = np.flatnonzero(mask)
+        counts = np.diff(np.append(bounds, len(pref)))
+        occupied[level] = (pref[bounds], counts)
+
+    extras_paths: Dict[int, np.ndarray] = {}
+    if len(extras_idx):
+        ecodes = codes_unsorted[extras_idx]
+        for level in np.unique(extras_level):
+            lv = int(level)
+            if lv <= root_level or lv > depth_cap:
+                continue
+            extras_paths[lv] = (
+                ecodes[extras_level == level]
+                >> np.uint64(3 * (depth_cap - lv))
+            )
+
+    node_paths: Dict[int, np.ndarray] = {}
+    carry = empty_u64
+    for level in range(depth_cap, root_level, -1):
+        paths = np.union1d(carry, occupied[level][0])
+        if level in extras_paths:
+            paths = np.union1d(paths, extras_paths[level])
+        node_paths[level] = paths
+        carry = np.unique(paths >> np.uint64(3))
+
+    grouped: Dict[int, _LevelNodes] = {}
+    for level, paths in node_paths.items():
+        if len(paths) == 0:
+            continue
+        counts = np.zeros(len(paths), dtype=np.int64)
+        occ_paths, occ_counts = occupied[level]
+        pos = np.searchsorted(paths, occ_paths)
+        counts[pos] = occ_counts
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        grouped[level] = _LevelNodes(
+            paths=paths.astype(np.uint64),
+            offsets=offsets,
+            idx=np.arange(starts[level], starts[level + 1], dtype=np.int64),
+        )
+    residual_idx = np.arange(
+        starts[root_level], starts[root_level + 1], dtype=np.int64
+    )
+    return grouped, residual_idx
+
+
 def _segment_sum_bool(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     cs = np.concatenate([[0], np.cumsum(mask)])
     return cs[offsets[1:]] - cs[offsets[:-1]]

@@ -642,7 +642,7 @@ def _dispatch_device_bucket(
     (host-side group/encode/write and the next spill load overlap device
     time; completion stays FIFO, so bytes and checkpoints are identical to
     the sequential order)."""
-    from ..ops.tree_build import tree_codes_on_device_padded
+    from ..ops.tree_build import tree_codes_grouped_on_device_padded
 
     with _timed_phase(phase_times, "bucket_quantize"):
         codes_unsorted, _ = morton.quantize_and_encode(
@@ -651,12 +651,15 @@ def _dispatch_device_bucket(
         hi, lo = morton.split_u64(codes_unsorted)
     with _timed_phase(phase_times, "bucket_device_dispatch"):
         # Power-of-two padding: bucket sizes are all distinct, so the
-        # unpadded call would compile one program PER BUCKET.
-        d_idx, d_final, d_leaf, n_real = tree_codes_on_device_padded(
+        # unpadded call would compile one program PER BUCKET.  The GROUPED
+        # exchange (VERDICT r4 item 6) fetches ~4 B/pt (order2 + per-node
+        # summaries) instead of 6 B/pt (order, final, leaf); the classic
+        # arrays stay on device as the extras-overflow fallback.
+        out, n_real = tree_codes_grouped_on_device_padded(
             hi, lo, depth_cap, depth_cap,
             root_level=bucket_level, stop_level=bucket_level,
         )
-    return codes_unsorted, d_idx, d_final, d_leaf, n_real
+    return codes_unsorted, out, n_real
 
 
 def _finish_device_bucket(
@@ -670,21 +673,58 @@ def _finish_device_bucket(
     phase_times: Optional[dict],
 ) -> Tuple[PointsBatch, List[Tuple[NodeId, int]]]:
     """Wait for a dispatched bucket derivation, then group + encode +
-    write its subtree (host side).  Bit-identical to the host kernels."""
-    from .builder import _group_subtree_levels
+    write its subtree (host side).  Bit-identical to the host kernels.
 
-    codes_unsorted, d_idx, d_final, d_leaf, n_real = state
+    Fast path: fetch order2 (4 B/pt) + per-level counts + the 1-point-leaf
+    extras and group from run boundaries on host.  Fallback (extras
+    overflow — pathological data where >~1.5% of points are sole leaf
+    occupants): fetch the classic (order, final, leaf) arrays, which the
+    device program also produced.  `bucket_fetch_bytes` in phase_times
+    records the actual exchange size either way."""
+    from .builder import (
+        _group_subtree_levels,
+        _group_subtree_levels_from_level_order,
+    )
+
+    codes_unsorted, out, n_real = state
+    (d_order2, d_counts, d_extras_idx, d_extras_level, d_total,
+     d_idx, d_final, d_leaf) = out
     with _timed_phase(phase_times, "bucket_device_derive"):
         # The fetch sync: includes any not-yet-finished device work and the
-        # device->host transfer of (order, final, leaf).
-        order = np.asarray(d_idx)[:n_real].astype(np.int64)
-        d_final = np.asarray(d_final)[:n_real]
-        d_leaf = np.asarray(d_leaf)[:n_real]
-    with _timed_phase(phase_times, "bucket_group"):
-        codes = codes_unsorted[order]
-        final_nodes, residual_idx = _group_subtree_levels(
-            codes, d_final, d_leaf, depth_cap, bucket_level,
+        # device->host transfers.
+        order2 = np.asarray(d_order2)[:n_real].astype(np.int64)
+        level_counts = np.asarray(d_counts)
+        extras_total = int(d_total)
+        extras_cap = d_extras_idx.shape[0]
+        fetched = n_real * 4 + level_counts.nbytes + 4  # u32 wire + counts
+        overflow = extras_total > extras_cap
+        if overflow:
+            order = np.asarray(d_idx)[:n_real].astype(np.int64)
+            d_final = np.asarray(d_final)[:n_real]
+            d_leaf = np.asarray(d_leaf)[:n_real]
+            fetched += n_real * 6
+        else:
+            extras_idx = np.asarray(d_extras_idx)[:extras_total].astype(
+                np.int64
+            )
+            extras_level = np.asarray(d_extras_level)[:extras_total]
+            fetched += extras_cap * 5
+    if phase_times is not None:
+        phase_times["bucket_fetch_bytes"] = (
+            phase_times.get("bucket_fetch_bytes", 0.0) + fetched
         )
+    with _timed_phase(phase_times, "bucket_group"):
+        if overflow:
+            codes = codes_unsorted[order]
+            final_nodes, residual_idx = _group_subtree_levels(
+                codes, d_final, d_leaf, depth_cap, bucket_level,
+            )
+        else:
+            order = order2
+            final_nodes, residual_idx = _group_subtree_levels_from_level_order(
+                codes_unsorted, order2, level_counts, extras_idx,
+                extras_level, depth_cap, bucket_level,
+            )
     with _timed_phase(phase_times, "bucket_encode_write"):
         nodes = _write_levels(
             output_directory, final_nodes, batch, order, root_cube,

@@ -541,6 +541,130 @@ def tree_codes_on_device_padded(
     return d_idx, d_final, d_leaf, n
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "depth", "max_split_level", "max_points_per_node", "root_level",
+        "stop_level", "extras_cap",
+    ),
+)
+def build_tree_device_codes_grouped(
+    hi: jnp.ndarray,  # (N,) uint32 Morton code bits 32..62 (unsorted)
+    lo: jnp.ndarray,  # (N,) uint32 bits 0..31
+    n_real,           # dynamic scalar: rows [n_real:] are pad sentinels
+    depth: int,
+    max_split_level: int,
+    max_points_per_node: int = MAX_POINTS_PER_NODE,
+    root_level: int = 0,
+    stop_level: int = 0,
+    extras_cap: int = 512,
+):
+    """Grouped-exchange build core (VERDICT r4 item 6): subtree grouping
+    moves ON DEVICE so the host fetch is ~4 B/pt instead of the 6 B/pt of
+    (order u32, final u8, leaf u8).
+
+    Returns, in fetch order of the fast path:
+      * order2  (u32/pt) — the permutation sorted by (final_level, code),
+        values = ORIGINAL indices.  Stable within a level by code, so each
+        level's slice is already in code order and every node is one
+        contiguous run; the host recovers per-node paths/counts from
+        codes[order2] runs (it already holds the unsorted codes).
+      * level_counts (i32 × (max_split_level+2)) — points per final level;
+        the last bin counts pad sentinels and is discarded.
+      * extras_idx/extras_level/extras_total — the ONLY tree facts not
+        derivable from final-occupancy closure: 1-point leaves, whose sole
+        point is always LOD-promoted away (stride-8 rule takes index 0), so
+        the node is real (meta records it with num_points=0, matching the
+        reference's empty-after-subsample children, generation.rs:195-253)
+        but no point's final level witnesses it.  Compacted to a fixed
+        `extras_cap` slots (+1 spill slot); if extras_total > extras_cap
+        the host falls back to the classic per-point exchange below.
+      * order/final/leaf — the classic (code-sorted) exchange, returned but
+        NOT fetched unless the extras overflow (JAX transfers per-array).
+    """
+    n = hi.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
+    hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=3, is_stable=False)
+    leaf, cur = _assign_and_promote(hi, lo, depth, max_split_level,
+                                    max_points_per_node,
+                                    root_level=root_level,
+                                    stop_level=stop_level)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    real = pos < n_real
+    # Sentinels must sort after every real row REGARDLESS of their own
+    # (data-dependent) promotion outcome.
+    key = jnp.where(real, cur, max_split_level + 1)
+
+    # Stable sort by final level (ties keep code order): (key, pos) is
+    # unique, so the unstable 2-key sort reproduces the stable order.
+    _, _, order2 = jax.lax.sort(
+        (key.astype(jnp.uint32), pos.astype(jnp.uint32), idx),
+        num_keys=2, is_stable=False,
+    )
+
+    level_counts = jax.ops.segment_sum(
+        jnp.ones_like(key), key, num_segments=max_split_level + 2
+    )
+
+    # --- 1-point-leaf extras over the code-sorted order -------------------
+    # Adjacent points share a leaf iff same leaf level AND same code prefix
+    # at that level.  Shift amounts are kept in [0, 32) per word (>>32 on
+    # u32 is undefined in XLA).
+    s = (3 * (depth - leaf)).astype(jnp.uint32)  # prefix shift, <= 63
+    s1 = s[1:]
+    hi_shift = jnp.where(s1 >= 32, s1 - 32, 0)
+    lo_shift = jnp.where(s1 < 32, s1, 0)
+    eq_wide = (hi[1:] >> hi_shift) == (hi[:-1] >> hi_shift)  # s >= 32
+    eq_narrow = (hi[1:] == hi[:-1]) & (
+        (lo[1:] >> lo_shift) == (lo[:-1] >> lo_shift)
+    )  # s < 32
+    same = (leaf[1:] == leaf[:-1]) & jnp.where(s1 >= 32, eq_wide, eq_narrow)
+    run_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), ~same]
+    )
+    next_start = jnp.concatenate([run_start[1:], jnp.ones(1, dtype=bool)])
+    sole = run_start & next_start & real
+
+    rank = jnp.cumsum(sole.astype(jnp.int32)) - 1
+    extras_total = rank[-1] + 1
+    slot = jnp.where(sole & (rank < extras_cap), rank, extras_cap)
+    extras_idx = jnp.zeros(extras_cap + 1, jnp.uint32).at[slot].set(idx)
+    extras_level = jnp.zeros(extras_cap + 1, jnp.uint8).at[slot].set(
+        leaf.astype(jnp.uint8)
+    )
+
+    return (order2, level_counts, extras_idx[:extras_cap],
+            extras_level[:extras_cap], extras_total,
+            idx, cur.astype(jnp.uint8), leaf.astype(jnp.uint8))
+
+
+def tree_codes_grouped_on_device_padded(
+    hi, lo, depth, max_split_level,
+    max_points_per_node: int = MAX_POINTS_PER_NODE,
+    root_level: int = 0, stop_level: int = 0, device=None,
+    extras_cap: int = None,
+):
+    """build_tree_device_codes_grouped over power-of-two-padded host codes.
+
+    Returns (outputs tuple as above, real n); all arrays UNFORCED device
+    buffers of padded length — the caller fetches order2[:n] etc. and only
+    touches the classic per-point arrays on extras overflow.  extras_cap
+    scales with the padded shape by default (one compile per size bucket);
+    tests override it to force the overflow fallback."""
+    hi, lo, n = pad_codes_pow2(hi, lo)
+    if device is not None:
+        hi, lo = jax.device_put(hi, device), jax.device_put(lo, device)
+    if extras_cap is None:
+        extras_cap = max(512, hi.shape[0] >> 6)
+    out = build_tree_device_codes_grouped(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.int32(n), depth,
+        max_split_level, max_points_per_node, root_level, stop_level,
+        extras_cap,
+    )
+    return out, n
+
+
 @jax.jit
 def sort_codes_device(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     """Stable device sort of split u64 Morton codes -> u32 permutation

@@ -429,3 +429,98 @@ def test_streaming_resume_accepts_legacy_marker(tmp_path):
     ref = str(tmp_path / "ref")
     build_octree_streaming(ref, 0.01, batch, bounding_box=bbox, bucket_levels=1)
     _assert_same_output(ref, out2)
+
+
+def _byte_compare_dirs(a, b):
+    import os
+
+    fa, fb = sorted(os.listdir(a)), sorted(os.listdir(b))
+    assert fa == fb
+    for f in fa:
+        with open(os.path.join(a, f), "rb") as x, open(
+            os.path.join(b, f), "rb"
+        ) as y:
+            assert x.read() == y.read(), f
+
+
+def _one_point_leaf_batch():
+    """>100k points fused at one spot force splitting to the depth cap;
+    lone outliers separate into their own child at some level -> 1-point
+    leaves whose sole point is LOD-promoted away (stride-8 takes index 0),
+    leaving EMPTY nodes that meta must still record (num_points=0) — the
+    reference's subsample behaves the same (generation.rs:195-253)."""
+    import numpy as np
+
+    from point_cloud_viewer_tpu.core.points_batch import PointsBatch
+
+    rng = np.random.default_rng(99)
+    n_dense = 100_003
+    dense = np.full((n_dense, 3), 1.5) + rng.random((n_dense, 3)) * 1e-4
+    # All outliers INSIDE the dense blob's level-1 bucket ([1,9)^3 once the
+    # anchor stretches the root cube to edge 16), so one bucket derivation
+    # carries several sole-occupant leaves; the anchor is its own
+    # 1-point bucket.
+    outliers = np.array([
+        [3.0, 2.0, 1.5],
+        [2.0, 5.0, 1.5],
+        [6.0, 3.0, 2.0],
+        [1.5, 6.0, 7.0],
+        [17.0, 17.0, 17.0],  # anchor
+    ])
+    position = np.concatenate([dense, outliers])
+    n = len(position)
+    return PointsBatch(
+        position=position,
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+
+
+def test_streaming_device_grouped_exchange_one_point_leaves(tmp_path):
+    """The grouped device exchange (r5: order2 + level counts + extras,
+    ~4 B/pt) must reproduce the host build byte-for-byte INCLUDING empty
+    nodes from promoted-away 1-point leaves — the one tree fact the
+    extras records exist for."""
+    import os
+
+    from point_cloud_viewer_tpu.octree.octree import Octree
+    from point_cloud_viewer_tpu.octree.streaming import build_octree_streaming
+
+    batch = _one_point_leaf_batch()
+    host_dir, dev_dir = str(tmp_path / "host"), str(tmp_path / "dev")
+    build_octree_streaming(host_dir, 0.01, batch, bucket_levels=1)
+    phases = {}
+    build_octree_streaming(dev_dir, 0.01, batch, bucket_levels=1,
+                           use_device=True, phase_times=phases)
+    _byte_compare_dirs(host_dir, dev_dir)
+    # The scenario really produced zero-point meta nodes (the extras path).
+    octree = Octree.from_directory(dev_dir)
+    assert (octree.num_points == 0).sum() >= 1
+    # And the exchange really was the grouped one (~4 B/pt, not 6).
+    n = len(batch)
+    assert 0 < phases.get("bucket_fetch_bytes", 0) < 5.5 * n
+
+
+def test_streaming_device_extras_overflow_falls_back(tmp_path, monkeypatch):
+    """With extras_cap forced to 1, the 3 sole-occupant leaves overflow the
+    compact records; the finish path must fetch the classic (order, final,
+    leaf) arrays and still be byte-identical."""
+    import functools
+
+    from point_cloud_viewer_tpu.octree.streaming import build_octree_streaming
+    from point_cloud_viewer_tpu.ops import tree_build
+
+    batch = _one_point_leaf_batch()
+    host_dir, dev_dir = str(tmp_path / "host"), str(tmp_path / "dev")
+    build_octree_streaming(host_dir, 0.01, batch, bucket_levels=1)
+
+    orig = tree_build.tree_codes_grouped_on_device_padded
+    monkeypatch.setattr(
+        tree_build, "tree_codes_grouped_on_device_padded",
+        functools.partial(orig, extras_cap=1),
+    )
+    phases = {}
+    build_octree_streaming(dev_dir, 0.01, batch, bucket_levels=1,
+                           use_device=True, phase_times=phases)
+    _byte_compare_dirs(host_dir, dev_dir)
+    # Fallback fetched the 6 B/pt arrays on top of order2.
+    assert phases.get("bucket_fetch_bytes", 0) > 6 * len(batch)
