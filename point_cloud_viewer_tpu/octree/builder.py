@@ -195,7 +195,7 @@ def build_octree(
         # identical to the host path.
         import jax.numpy as jnp
 
-        from ..ops.tree_build import build_tree_device_codes
+        from ..ops.tree_build import build_tree_device_codes_grouped
 
         with phase("quantize+morton"):
             codes_unsorted, _ = morton.quantize_and_encode(
@@ -204,22 +204,44 @@ def build_octree(
             hi, lo = morton.split_u64(codes_unsorted)
         with phase("device core"):
             # Minimal transfers on relayed backends: 8 B/pt up (packed
-            # codes), 6 B/pt down (order u32 + final/leaf u8); the sorted
-            # codes are recovered on host as codes[order].  Deliberately
-            # UNPADDED (unlike the per-bucket/per-fat-cell paths): one
-            # in-core build is one shape, so padding buys no compile reuse
-            # and would only add up to 2x transfer + sort.
-            d_idx, d_final, d_leaf = build_tree_device_codes(
-                jnp.asarray(hi), jnp.asarray(lo), depth_cap, depth_cap
+            # codes), ~4 B/pt down via the GROUPED exchange (order2 sorted
+            # by (final level, code) + per-level counts + 1-point-leaf
+            # extras; the classic order/final/leaf arrays stay on device
+            # as the extras-overflow fallback).  Deliberately UNPADDED
+            # (unlike the per-bucket/per-fat-cell paths): one in-core
+            # build is one shape, so padding buys no compile reuse and
+            # would only add up to 2x transfer + sort.
+            n_pts = len(batch)
+            (d_order2, d_counts, d_extras_idx, d_extras_level, d_total,
+             d_idx, d_final, d_leaf) = build_tree_device_codes_grouped(
+                jnp.asarray(hi), jnp.asarray(lo), jnp.int32(n_pts),
+                depth_cap, depth_cap,
+                extras_cap=max(512, n_pts >> 6),
             )
-            order = np.asarray(d_idx).astype(np.int64)
-            final_levels = np.asarray(d_final)
-            leaf_levels = np.asarray(d_leaf)
+            order = np.asarray(d_order2).astype(np.int64)
+            level_counts = np.asarray(d_counts)
+            extras_total = int(d_total)
+            overflow = extras_total > d_extras_idx.shape[0]
+            if overflow:
+                order = np.asarray(d_idx).astype(np.int64)
+                final_levels = np.asarray(d_final)
+                leaf_levels = np.asarray(d_leaf)
+            else:
+                extras_idx = np.asarray(d_extras_idx)[:extras_total].astype(
+                    np.int64
+                )
+                extras_level = np.asarray(d_extras_level)[:extras_total]
         with phase("group levels"):
-            codes = codes_unsorted[order]
-            final_nodes = _group_device_levels(
-                codes, final_levels, leaf_levels, depth_cap
-            )
+            if overflow:
+                codes = codes_unsorted[order]
+                final_nodes = _group_device_levels(
+                    codes, final_levels, leaf_levels, depth_cap
+                )
+            else:
+                final_nodes, _ = _group_subtree_levels_from_level_order(
+                    codes_unsorted, order, level_counts, extras_idx,
+                    extras_level, depth_cap, 0, include_root=True,
+                )
     else:
         with phase("quantize+morton"):
             codes, _ = morton.quantize_and_encode(
@@ -495,11 +517,11 @@ def _dispatch_deep_device(
     """Dispatch one fat cell's subtree derivation to `device` (or the
     default JAX device) WITHOUT forcing the result: JAX dispatch is async,
     so derivations launched for different mesh devices run concurrently.
-    Returns (sub_codes, d_idx, d_final, d_leaf, n_real) for
+    Returns (sub_codes, grouped-exchange outputs, n_real) for
     _build_deep_subtree; the device arrays are power-of-two padded (fat
     cells have data-dependent sizes — unpadded, each cell would pay its
     own XLA compile) and must be sliced [:n_real] after fetch."""
-    from ..ops.tree_build import tree_codes_on_device_padded
+    from ..ops.tree_build import tree_codes_grouped_on_device_padded
 
     node_id = NodeId.from_level_index(depth_cap, cell_path)
     cube = node_id.find_bounding_cube(root_cube)
@@ -508,10 +530,10 @@ def _dispatch_deep_device(
         batch.position[run_order], cube.min, cube.edge_length, d2
     )
     hi, lo = morton.split_u64(sub_codes)
-    d_idx, d_final, d_leaf, n_real = tree_codes_on_device_padded(
+    out, n_real = tree_codes_grouped_on_device_padded(
         hi, lo, d2, d2, device=device
     )
-    return sub_codes, d_idx, d_final, d_leaf, n_real
+    return sub_codes, out, n_real
 
 
 def _build_deep_subtree(
@@ -553,14 +575,28 @@ def _build_deep_subtree(
             batch, run_order, cell_path, root_cube, depth_cap, total_cap
         )
     if precomputed is not None:
-        sub_codes, d_idx, d_final, d_leaf, n_real = precomputed
-        o = np.asarray(d_idx)[:n_real].astype(np.int64)
-        sub_codes = sub_codes[o]
+        sub_codes, out, n_real = precomputed
+        (d_order2, d_counts, d_extras_idx, d_extras_level, d_total,
+         d_idx, d_final, d_leaf) = out
+        order2 = np.asarray(d_order2)[:n_real].astype(np.int64)
+        extras_total = int(d_total)
+        if extras_total > d_extras_idx.shape[0]:  # overflow: classic route
+            o = np.asarray(d_idx)[:n_real].astype(np.int64)
+            final_nodes, residual_idx = _group_subtree_levels(
+                sub_codes[o], np.asarray(d_final)[:n_real],
+                np.asarray(d_leaf)[:n_real], d2, 0,
+            )
+        else:
+            o = order2
+            extras_idx = np.asarray(d_extras_idx)[:extras_total].astype(
+                np.int64
+            )
+            extras_level = np.asarray(d_extras_level)[:extras_total]
+            final_nodes, residual_idx = _group_subtree_levels_from_level_order(
+                sub_codes, order2, np.asarray(d_counts), extras_idx,
+                extras_level, d2, 0,
+            )
         sub_order = run_order[o]
-        final_nodes, residual_idx = _group_subtree_levels(
-            sub_codes, np.asarray(d_final)[:n_real],
-            np.asarray(d_leaf)[:n_real], d2, 0,
-        )
         nodes = _write_levels(
             directory, final_nodes, batch, sub_order, cube, resolution,
             prefix=node_id,
@@ -966,6 +1002,7 @@ def _group_subtree_levels_from_level_order(
     extras_level: np.ndarray,
     depth_cap: int,
     root_level: int,
+    include_root: bool = False,
 ) -> Tuple[Dict[int, _LevelNodes], np.ndarray]:
     """_group_subtree_levels twin consuming the GROUPED device exchange
     (ops.tree_build.build_tree_device_codes_grouped): `order2` is sorted by
@@ -979,7 +1016,11 @@ def _group_subtree_levels_from_level_order(
     codes[order2[slice]] — no per-point final/leaf arrays cross the
     host<->device link.  Returned idx arrays index INTO order2 (callers
     pass order2 as the write `order`).  Byte-identical to the classic
-    path: tests/test_streaming_build.py pins both routes to one output."""
+    path: tests/test_streaming_build.py pins both routes to one output.
+
+    include_root=True is the IN-CORE (whole tree) variant: the root node
+    itself is emitted as a written level (path 0 at root_level, matching
+    _group_device_levels) and the residual is empty."""
     num_levels = depth_cap + 1
     starts = np.zeros(num_levels + 1, dtype=np.int64)
     np.cumsum(level_counts[:num_levels], out=starts[1:])
@@ -1036,6 +1077,16 @@ def _group_subtree_levels_from_level_order(
             offsets=offsets,
             idx=np.arange(starts[level], starts[level + 1], dtype=np.int64),
         )
+    if include_root:
+        n_root = int(starts[root_level + 1] - starts[root_level])
+        grouped[root_level] = _LevelNodes(
+            paths=np.zeros(1, dtype=np.uint64),
+            offsets=np.array([0, n_root], dtype=np.int64),
+            idx=np.arange(
+                starts[root_level], starts[root_level + 1], dtype=np.int64
+            ),
+        )
+        return grouped, np.empty(0, dtype=np.int64)
     residual_idx = np.arange(
         starts[root_level], starts[root_level + 1], dtype=np.int64
     )
