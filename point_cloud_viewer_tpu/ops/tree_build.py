@@ -583,6 +583,13 @@ def build_tree_device_codes_grouped(
         NOT fetched unless the extras overflow (JAX transfers per-array).
     """
     n = hi.shape[0]
+    if n == 0:  # static shape: empty input -> empty exchange
+        e32 = jnp.zeros(0, jnp.uint32)
+        e8 = jnp.zeros(0, jnp.uint8)
+        return (e32, jnp.zeros(max_split_level + 2, jnp.int32),
+                jnp.zeros(extras_cap, jnp.uint32),
+                jnp.zeros(extras_cap, jnp.uint8), jnp.int32(0),
+                e32, e8, e8)
     idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).squeeze(-1)
     hi, lo, idx = jax.lax.sort((hi, lo, idx), num_keys=3, is_stable=False)
     leaf, cur = _assign_and_promote(hi, lo, depth, max_split_level,
