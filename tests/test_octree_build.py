@@ -326,3 +326,28 @@ def test_pathological_clouds_native_equals_numpy(tmp_path, case):
     from tests.conftest import assert_dirs_byte_equal
 
     assert_dirs_byte_equal(a, b, context=f"native vs numpy ({case})")
+
+
+def test_incore_device_grouped_exchange_one_point_leaves(tmp_path):
+    """In-core use_device now rides the grouped exchange (r5): byte
+    identity vs the host build must hold INCLUDING zero-point meta nodes
+    from promoted-away 1-point leaves (the extras records), and the
+    root-node emission (include_root)."""
+    import os
+
+    from point_cloud_viewer_tpu.octree.octree import Octree
+    from tests.test_streaming_build import _one_point_leaf_batch
+
+    batch = _one_point_leaf_batch()
+    host_dir, dev_dir = str(tmp_path / "host"), str(tmp_path / "dev")
+    build_octree(host_dir, 0.01, batch)
+    build_octree(dev_dir, 0.01, batch, use_device=True)
+    fa, fb = sorted(os.listdir(host_dir)), sorted(os.listdir(dev_dir))
+    assert fa == fb
+    for f in fa:
+        with open(os.path.join(host_dir, f), "rb") as a, open(
+            os.path.join(dev_dir, f), "rb"
+        ) as b:
+            assert a.read() == b.read(), f
+    octree = Octree.from_directory(dev_dir)
+    assert (octree.num_points == 0).sum() >= 1
