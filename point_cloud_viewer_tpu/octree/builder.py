@@ -211,22 +211,21 @@ def build_octree(
             # (unlike the per-bucket/per-fat-cell paths): one in-core
             # build is one shape, so padding buys no compile reuse and
             # would only add up to 2x transfer + sort.
-            n_pts = len(batch)
             (d_order2, d_counts, d_extras_idx, d_extras_level, d_total,
              d_idx, d_final, d_leaf) = build_tree_device_codes_grouped(
-                jnp.asarray(hi), jnp.asarray(lo), jnp.int32(n_pts),
+                jnp.asarray(hi), jnp.asarray(lo), jnp.int32(n),
                 depth_cap, depth_cap,
-                extras_cap=max(512, n_pts >> 6),
+                extras_cap=max(512, n >> 6),
             )
-            order = np.asarray(d_order2).astype(np.int64)
-            level_counts = np.asarray(d_counts)
-            extras_total = int(d_total)
+            extras_total = int(d_total)  # scalar first: pick ONE exchange
             overflow = extras_total > d_extras_idx.shape[0]
             if overflow:
                 order = np.asarray(d_idx).astype(np.int64)
                 final_levels = np.asarray(d_final)
                 leaf_levels = np.asarray(d_leaf)
             else:
+                order = np.asarray(d_order2).astype(np.int64)
+                level_counts = np.asarray(d_counts)
                 extras_idx = np.asarray(d_extras_idx)[:extras_total].astype(
                     np.int64
                 )
@@ -578,8 +577,7 @@ def _build_deep_subtree(
         sub_codes, out, n_real = precomputed
         (d_order2, d_counts, d_extras_idx, d_extras_level, d_total,
          d_idx, d_final, d_leaf) = out
-        order2 = np.asarray(d_order2)[:n_real].astype(np.int64)
-        extras_total = int(d_total)
+        extras_total = int(d_total)  # scalar first: pick ONE exchange
         if extras_total > d_extras_idx.shape[0]:  # overflow: classic route
             o = np.asarray(d_idx)[:n_real].astype(np.int64)
             final_nodes, residual_idx = _group_subtree_levels(
@@ -587,6 +585,7 @@ def _build_deep_subtree(
                 np.asarray(d_leaf)[:n_real], d2, 0,
             )
         else:
+            order2 = np.asarray(d_order2)[:n_real].astype(np.int64)
             o = order2
             extras_idx = np.asarray(d_extras_idx)[:extras_total].astype(
                 np.int64
@@ -1025,9 +1024,12 @@ def _group_subtree_levels_from_level_order(
     starts = np.zeros(num_levels + 1, dtype=np.int64)
     np.cumsum(level_counts[:num_levels], out=starts[1:])
 
+    # Levels strictly below root_level never produce nodes here: the
+    # root_level slice is the residual (or the include_root node), whose
+    # paths/counts come from starts[] alone — skip its O(residual) gather.
     occupied: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     empty_u64 = np.empty(0, dtype=np.uint64)
-    for level in range(root_level, num_levels):
+    for level in range(root_level + 1, num_levels):
         s0, s1 = int(starts[level]), int(starts[level + 1])
         if s1 <= s0:
             occupied[level] = (empty_u64, np.empty(0, dtype=np.int64))

@@ -691,24 +691,29 @@ def _finish_device_bucket(
      d_idx, d_final, d_leaf) = out
     with _timed_phase(phase_times, "bucket_device_derive"):
         # The fetch sync: includes any not-yet-finished device work and the
-        # device->host transfers.
-        order2 = np.asarray(d_order2)[:n_real].astype(np.int64)
-        level_counts = np.asarray(d_counts)
-        extras_total = int(d_total)
+        # device->host transfers.  The overflow scalar comes back FIRST so
+        # only one of the two exchanges crosses the link; np.asarray moves
+        # WHOLE padded buffers (no device-side slice without a per-n
+        # compile), so the byte metric counts padded lengths — the honest
+        # wire size.
+        n_pad = d_order2.shape[0]
         extras_cap = d_extras_idx.shape[0]
-        fetched = n_real * 4 + level_counts.nbytes + 4  # u32 wire + counts
+        extras_total = int(d_total)  # scalar fetch: syncs the program
+        fetched = 4
         overflow = extras_total > extras_cap
         if overflow:
             order = np.asarray(d_idx)[:n_real].astype(np.int64)
             d_final = np.asarray(d_final)[:n_real]
             d_leaf = np.asarray(d_leaf)[:n_real]
-            fetched += n_real * 6
+            fetched += n_pad * 6
         else:
+            order2 = np.asarray(d_order2)[:n_real].astype(np.int64)
+            level_counts = np.asarray(d_counts)
             extras_idx = np.asarray(d_extras_idx)[:extras_total].astype(
                 np.int64
             )
             extras_level = np.asarray(d_extras_level)[:extras_total]
-            fetched += extras_cap * 5
+            fetched += n_pad * 4 + level_counts.nbytes + extras_cap * 5
     if phase_times is not None:
         phase_times["bucket_fetch_bytes"] = (
             phase_times.get("bucket_fetch_bytes", 0.0) + fetched

@@ -491,11 +491,25 @@ _PAD_MIN = 1 << 16
 
 
 def pad_codes_pow2(hi, lo):
-    """Host numpy u32 code halves -> (padded hi, padded lo, real n)."""
+    """Host numpy u32 code halves -> (padded hi, padded lo, real n).
+
+    Padded sizes come from the {2^k, 3*2^(k-1)} bucket ladder (steps of
+    1.33x/1.5x) rather than pure powers of two: pad bytes ride the full
+    host->device upload (the measured binding phase of the streaming
+    device path on relayed links), and the extra mid bucket cuts the
+    average upload waste from ~1.39x to ~1.2x for at most 2x compile
+    variety.  Sentinel fill is 0xFFFFFFFF in BOTH halves: real hi words
+    carry only Morton bits 32..62 (bit 31 clear), so sentinels sort
+    strictly after every real row and share no code prefix with one."""
     import numpy as np
 
     n = int(hi.shape[0])
-    n_pad = max(_PAD_MIN, 1 << (n - 1).bit_length()) if n else 0
+    if n:
+        p = 1 << (n - 1).bit_length()  # next pow2 >= n
+        mid = 3 * (p >> 2)             # 1.5 * previous pow2
+        n_pad = max(_PAD_MIN, mid if n <= mid else p)
+    else:
+        n_pad = 0
     if n_pad > n:
         fill = np.full(n_pad - n, 0xFFFFFFFF, dtype=np.uint32)
         hi = np.concatenate([hi, fill])

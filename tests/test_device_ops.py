@@ -325,7 +325,11 @@ def test_padded_tree_codes_bit_identical(root_level, stop_level):
     )
     assert n_real == n
     ph, _, _ = pad_codes_pow2(hi, lo)
-    assert len(ph) & (len(ph) - 1) == 0 and len(ph) > n
+    # Padded size sits on the {2^k, 3*2^(k-1)} bucket ladder and really
+    # padded (n is not itself a bucket size in this fixture).
+    m = len(ph)
+    assert m > n
+    assert (m & (m - 1) == 0) or ((m % 3 == 0) and ((m // 3) & (m // 3 - 1) == 0))
     np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(d_idx)[:n])
     np.testing.assert_array_equal(
         np.asarray(ref_final), np.asarray(d_final)[:n]

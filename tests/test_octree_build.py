@@ -342,12 +342,9 @@ def test_incore_device_grouped_exchange_one_point_leaves(tmp_path):
     host_dir, dev_dir = str(tmp_path / "host"), str(tmp_path / "dev")
     build_octree(host_dir, 0.01, batch)
     build_octree(dev_dir, 0.01, batch, use_device=True)
-    fa, fb = sorted(os.listdir(host_dir)), sorted(os.listdir(dev_dir))
-    assert fa == fb
-    for f in fa:
-        with open(os.path.join(host_dir, f), "rb") as a, open(
-            os.path.join(dev_dir, f), "rb"
-        ) as b:
-            assert a.read() == b.read(), f
+    from tests.conftest import assert_dirs_byte_equal
+
+    assert_dirs_byte_equal(host_dir, dev_dir,
+                           context="in-core grouped exchange")
     octree = Octree.from_directory(dev_dir)
     assert (octree.num_points == 0).sum() >= 1

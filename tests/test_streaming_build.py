@@ -432,15 +432,9 @@ def test_streaming_resume_accepts_legacy_marker(tmp_path):
 
 
 def _byte_compare_dirs(a, b):
-    import os
+    from tests.conftest import assert_dirs_byte_equal
 
-    fa, fb = sorted(os.listdir(a)), sorted(os.listdir(b))
-    assert fa == fb
-    for f in fa:
-        with open(os.path.join(a, f), "rb") as x, open(
-            os.path.join(b, f), "rb"
-        ) as y:
-            assert x.read() == y.read(), f
+    assert_dirs_byte_equal(a, b, context="streaming device vs host")
 
 
 def _one_point_leaf_batch():
