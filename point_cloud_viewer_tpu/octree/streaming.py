@@ -659,6 +659,13 @@ def _dispatch_device_bucket(
             hi, lo, depth_cap, depth_cap,
             root_level=bucket_level, stop_level=bucket_level,
         )
+    if phase_times is not None:
+        # Upload-side twin of bucket_fetch_bytes: padded (hi, lo) words
+        # are what actually crosses the link.
+        phase_times["bucket_upload_bytes"] = (
+            phase_times.get("bucket_upload_bytes", 0.0)
+            + out[0].shape[0] * 8
+        )
     return codes_unsorted, out, n_real
 
 
