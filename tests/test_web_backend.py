@@ -359,3 +359,32 @@ def test_load_octree_single_flight(served_octree, monkeypatch):
         with pytest.raises(FileNotFoundError):
             state.load_octree("nosuch")
     assert not state._loading
+
+
+def test_node_names_json_vectorized_full_level_range():
+    """_node_names_json (the /visible_nodes serializer) matches
+    "r" + octal-path NodeId strings over the format's FULL level range
+    (levels 0..40 — paths straddle the lo/hi u64 boundary from level 22),
+    including empty input and order permutation."""
+    from point_cloud_viewer_tpu.octree.octree import _node_names_json
+
+    rng = np.random.default_rng(11)
+    levels, his, los, expected = [], [], [], []
+    for level in list(range(0, 41)) + [21, 22, 40]:
+        path = int(rng.integers(0, 8)) if level == 0 else 0
+        # Random path < 8^level via python bigints (numpy can't do 120-bit).
+        path = 0
+        for _ in range(level):
+            path = (path << 3) | int(rng.integers(0, 8))
+        levels.append(level)
+        his.append(path >> 64)
+        los.append(path & ((1 << 64) - 1))
+        expected.append("r" if level == 0 else "r" + format(path, "o").zfill(level))
+    levels = np.array(levels, dtype=np.uint8)
+    his = np.array(his, dtype=np.uint64)
+    los = np.array(los, dtype=np.uint64)
+
+    order = rng.permutation(len(levels))
+    got = json.loads(_node_names_json(levels, his, los, order))
+    assert got == [expected[i] for i in order]
+    assert _node_names_json(levels, his, los, np.array([], dtype=np.int64)) == b"[]"
