@@ -85,7 +85,7 @@ def lib() -> Optional[ctypes.CDLL]:
             handle = ctypes.CDLL(_SO)
         except OSError:
             return None
-        if handle.pcv_native_abi_version() != 2:
+        if handle.pcv_native_abi_version() != 3:
             return None
         _configure(handle)
         _lib = handle
@@ -118,6 +118,10 @@ def _configure(h: ctypes.CDLL) -> None:
     h.morton_encode.argtypes = [POINTER(c_uint32), c_int64, POINTER(c_uint64)]
     h.radix_argsort_u64.argtypes = [
         POINTER(c_uint64), c_int64, POINTER(c_int64), POINTER(c_uint64),
+    ]
+    h.counting_argsort_i64.argtypes = [
+        POINTER(c_int64), c_int64, POINTER(c_int64), c_int64,
+        POINTER(c_int64),
     ]
     h.decode_to_f32_relative.argtypes = [
         POINTER(c_uint16), c_int64,
@@ -448,6 +452,24 @@ def group_levels_full(
     )
     return (idx_by_level, level_starts, node_paths, node_counts,
             node_offsets, leaf_paths, leaf_offsets)
+
+
+def counting_argsort(ids: np.ndarray, counts: np.ndarray) -> Optional[np.ndarray]:
+    """Stable argsort of small-range int keys given their histogram
+    (np.bincount), identical to np.argsort(ids, kind="stable"); None when
+    the library is unavailable.  O(n) with no key materialization — the
+    spill pass's bucket grouping."""
+    h = lib()
+    if h is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    out = np.empty(len(ids), dtype=np.int64)
+    h.counting_argsort_i64(
+        _ptr(ids, ctypes.c_int64), len(ids), _ptr(counts, ctypes.c_int64),
+        len(counts), _ptr(out, ctypes.c_int64),
+    )
+    return out
 
 
 def take_rows(arr: np.ndarray, idx: np.ndarray) -> Optional[np.ndarray]:

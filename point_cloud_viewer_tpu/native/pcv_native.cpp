@@ -959,6 +959,25 @@ int64_t parse_octree_meta(const uint8_t* buf, int64_t len, int32_t* version,
     return n;
 }
 
-int pcv_native_abi_version() { return 2; }
+// Stable counting argsort of small-range keys (spill bucket ids: 8^B
+// values).  `counts` is the per-key histogram (np.bincount on the Python
+// side, which also yields the per-bucket run boundaries for free); the
+// scatter visits indices in original order, so the result is IDENTICAL
+// to a stable sort by key — the radix argsort this replaces paid ~5x
+// more here (u64 key copies + sorted-key materialization the spill then
+// threw away).
+void counting_argsort_i64(const int64_t* ids, int64_t n,
+                          const int64_t* counts, int64_t num_keys,
+                          int64_t* order_out) {
+    std::vector<int64_t> pos(num_keys);
+    int64_t acc = 0;
+    for (int64_t b = 0; b < num_keys; ++b) {
+        pos[b] = acc;
+        acc += counts[b];
+    }
+    for (int64_t i = 0; i < n; ++i) order_out[pos[ids[i]]++] = i;
+}
+
+int pcv_native_abi_version() { return 3; }
 
 }  // extern "C"

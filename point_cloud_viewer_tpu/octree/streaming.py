@@ -80,17 +80,18 @@ class _BucketSpill:
 
         if len(bucket_ids) == 0:  # e.g. a reader's trailing empty chunk
             return
-        # Bucket ids are small ints; the native radix argsort skips the
-        # constant high digits, so this is ~1 counting pass.
-        _, order = morton.argsort_codes(bucket_ids.astype(np.uint64))
-        sorted_ids = bucket_ids[order]
-        # Run boundaries on the already-sorted ids (np.unique would sort
-        # again — a second full pass at every append).
-        starts = np.concatenate(
-            [[0], np.flatnonzero(np.diff(sorted_ids)) + 1]
-        )
-        uniq = sorted_ids[starts]
-        ends = np.append(starts[1:], len(sorted_ids))
+        # Bucket ids span only 8^B values: one bincount pass gives both the
+        # run boundaries AND feeds the native stable counting scatter —
+        # identical order to a stable sort by id, ~5x cheaper than the
+        # radix argsort this replaced (no u64 key copies, no sorted-key
+        # materialization).
+        counts = np.bincount(bucket_ids, minlength=self.num_buckets)
+        order = native.counting_argsort(bucket_ids, counts)
+        if order is None:  # no native library: stable numpy sort
+            order = np.argsort(bucket_ids, kind="stable")
+        uniq = np.flatnonzero(counts)
+        ends = np.cumsum(counts[uniq])
+        starts = ends - counts[uniq]
         arrays = {"position": batch.position, **batch.attributes}
         for b, s, e in zip(uniq, starts, ends):
             sel = order[s:e]

@@ -189,3 +189,26 @@ def test_take_rows_matches_fancy_index(nat):
     ):
         got = nat.take_rows(arr, idx)
         np.testing.assert_array_equal(got, arr[idx])
+
+
+def test_counting_argsort_matches_stable_sort():
+    """native.counting_argsort == np.argsort(kind='stable') for small-range
+    keys (the spill bucket grouping), including empty groups, empty input,
+    and a single repeated key."""
+    import numpy as np
+
+    from point_cloud_viewer_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    for n, hi in ((0, 8), (1, 1), (57, 3), (100_000, 512), (65_536, 4096)):
+        ids = rng.integers(0, hi, n, dtype=np.int64)
+        counts = np.bincount(ids, minlength=hi)
+        got = native.counting_argsort(ids, counts)
+        np.testing.assert_array_equal(got, np.argsort(ids, kind="stable"))
+    ids = np.full(1000, 7, dtype=np.int64)
+    got = native.counting_argsort(ids, np.bincount(ids, minlength=8))
+    np.testing.assert_array_equal(got, np.arange(1000))
