@@ -962,12 +962,22 @@ def bench_big_streaming(
     extent = np.array([120.0, 90.0, 40.0])
     bbox = Aabb(np.zeros(3), extent)
 
+    gen_s = [0.0]
+
     def gen(total):
+        # Input production is harness cost, not framework cost, but it runs
+        # INSIDE the builder's spill loop (and therefore inside the "spill"
+        # phase timer).  Timing it here splits the record honestly:
+        # streaming_phases_*["input_gen"] is CONTAINED IN "spill", not
+        # additive with it.
         done = 0
         seed = 0
         while done < total:
             m = min(batch_points, total - done)
-            yield synth_points(m, seed=seed)
+            t0 = time.perf_counter()
+            b = synth_points(m, seed=seed)
+            gen_s[0] += time.perf_counter() - t0
+            yield b
             done += m
             seed += 1
 
@@ -986,6 +996,7 @@ def bench_big_streaming(
         out[f"e2e_streaming_{tag}_s"] = round(dt, 1)
         out[f"e2e_streaming_{tag}_mpts"] = round(n / dt / 1e6, 3)
         out["e2e_streaming_n"] = n
+        phases["input_gen"] = gen_s[0]  # contained in "spill", see gen()
         out[f"streaming_phases_{tag}"] = {
             k: round(v, 1) for k, v in phases.items()
         }
