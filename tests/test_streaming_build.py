@@ -518,3 +518,20 @@ def test_streaming_device_extras_overflow_falls_back(tmp_path, monkeypatch):
     _byte_compare_dirs(host_dir, dev_dir)
     # Fallback fetched the 6 B/pt arrays on top of order2.
     assert phases.get("bucket_fetch_bytes", 0) > 6 * len(batch)
+
+
+def test_streaming_spill_no_native_fallback_byte_identical(tmp_path, monkeypatch):
+    """The spill's bucket grouping falls back to np.argsort(kind='stable')
+    when the native counting scatter is unavailable — output must stay
+    byte-identical to the in-core build (and therefore to the native
+    grouping path, which the other tests pin)."""
+    from point_cloud_viewer_tpu import native
+
+    monkeypatch.setattr(native, "counting_argsort", lambda ids, counts: None)
+    rng = np.random.default_rng(23)
+    n = 120_000
+    batch = PointsBatch(
+        position=rng.random((n, 3)) * 50.0,
+        attributes={"color": rng.integers(0, 255, (n, 3), dtype=np.uint8)},
+    )
+    _compare(tmp_path, batch, 0.01)
