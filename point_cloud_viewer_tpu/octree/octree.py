@@ -101,15 +101,14 @@ def _node_names_json(levels, path_hi, path_lo, order) -> bytes:
     buf[p + 3 + lv] = ord(",")
     buf[-1] = ord("]")  # the trailing comma slot
     # Octal digits, least-significant first: digit k's 3-bit window sits at
-    # a CONSTANT shift 3k, so each iteration is one uniform vector op (the
-    # k = 62/63-bit straddles get fixed combining expressions).
+    # a CONSTANT shift 3k, so each iteration is one uniform vector op.  The
+    # only lo/hi straddle a 3k shift can hit is s=63 (s=62 is not a
+    # multiple of 3): bit 63 of lo + bits 0-1 of hi.
     max_lv = int(lv.max())
     for k in range(max_lv):
         s = 3 * k
         if s <= 61:
             d = (lo >> np.uint64(s)) & np.uint64(7)
-        elif s == 62:
-            d = (lo >> np.uint64(62)) | ((hi & np.uint64(1)) << np.uint64(2))
         elif s == 63:
             d = (lo >> np.uint64(63)) | ((hi & np.uint64(3)) << np.uint64(1))
         else:
