@@ -1130,8 +1130,11 @@ def main() -> None:
         ),
     )
     host_phases: dict = {}
+    # Median-of-5: this is the headline number and the shared host's
+    # run-to-run spread is ~2x (one bad rep at repeats=3 shifts the
+    # median visibly; two must collude at 5).  Costs ~16 s.
     host_s = time_build(
-        batch, use_device=False, resolution=args.resolution, repeats=3,
+        batch, use_device=False, resolution=args.resolution, repeats=5,
         phases=host_phases,
     )
     if args.skip_baseline:
