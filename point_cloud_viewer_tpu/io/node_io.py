@@ -62,9 +62,14 @@ class NodeNotFound(KeyError):
 class OnDiskDataProvider(DataProvider):
     def __init__(self, directory: str) -> None:
         self.directory = directory
+        # Plain concatenation beats os.path.join in the per-node hot path
+        # (queries over many small S2 cells open 2+ files per cell).
+        self._prefix = (
+            directory if directory.endswith(os.sep) else directory + os.sep
+        )
 
     def stem(self, node_name: str) -> str:
-        return os.path.join(self.directory, node_name)
+        return self._prefix + node_name
 
     def meta_proto(self) -> MetaProto:
         return MetaProto.decode(self.meta_bytes())

@@ -143,10 +143,17 @@ class PointCloudClient:
         slow), and abandoning the generator (break / .close()) cancels all
         outstanding work cooperatively — the reference's early-stop
         semantics (src/iterator.rs:226-334, src/octree/tests.rs:83-136)."""
-        jobs: List[Tuple[object, object]] = []
+        jobs: List[Tuple[object, object, bool]] = []
         for cloud in self.clouds:
-            for node_id in cloud.nodes_in_location(query.location):
-                jobs.append((cloud, node_id))
+            ex = getattr(cloud, "nodes_in_location_ex", None)
+            if ex is not None:
+                # fully_inside nodes skip the per-point geometry mask
+                # (bit-exact by construction — see nodes_in_location_ex).
+                for node_id, fully in ex(query.location):
+                    jobs.append((cloud, node_id, fully))
+            else:
+                for node_id in cloud.nodes_in_location(query.location):
+                    jobs.append((cloud, node_id, False))
 
         out: "queue.Queue" = queue.Queue(maxsize=self.buffer_size)
         cancel = threading.Event()
@@ -172,10 +179,14 @@ class PointCloudClient:
                         job = next(job_iter, None)
                     if job is None:
                         break
-                    cloud, node_id = job
+                    cloud, node_id, fully = job
                     batch = cloud.points_in_node(node_id, attributes=query.attributes)
                     rebatcher.push(
-                        query.filter_batch(batch, use_device=self.device_filter)
+                        query.filter_batch(
+                            batch,
+                            use_device=self.device_filter,
+                            skip_geometry=fully,
+                        )
                     )
                 rebatcher.flush()
             except _Cancelled:

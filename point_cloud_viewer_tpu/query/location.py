@@ -37,6 +37,9 @@ class AllPoints:
     def intersects_bounds(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
         return np.ones(len(lo), dtype=bool)
 
+    def fully_inside_bounds(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        return np.ones(len(lo), dtype=bool)
+
 
 class GeometryLocation:
     """Adapter for convex-polyhedron geometries (Aabb/Obb/Frustum/
@@ -61,6 +64,23 @@ class GeometryLocation:
         """AABBs as (N, 3) lo/hi — no corner materialization (matters at
         ~1M-node scale)."""
         return self._axes().intersect_bounds(lo, hi) != REL_OUT
+
+    def fully_inside_bounds(self, lo: np.ndarray, hi: np.ndarray):
+        """(K,) bool: every point that can live inside [lo, hi] is certain
+        to pass contains() — lets the client skip the per-point mask for
+        interior nodes (an optimization the reference does not have; its
+        FilteredIterator always tests per point, src/iterator.rs:93-119).
+
+        Claimed ONLY where bit-exactness against the per-point test is
+        provable: Aabb, whose contains() is the same component comparisons
+        (half-open max, geometry.py), so `q.mins <= lo and hi < q.maxs`
+        implies every p in [lo, hi] passes.  For Frustum/Obb/WebMercatorRect
+        a SAT REL_IN can disagree with the exact per-point test by an ulp
+        at the boundary, so returns None (caller treats as all-False)."""
+        g = self.geometry
+        if isinstance(g, Aabb):
+            return np.all((g.mins <= lo) & (hi < g.maxs), axis=-1)
+        return None
 
 
 def location_for(geometry) -> PointLocation:

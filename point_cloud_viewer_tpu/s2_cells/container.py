@@ -74,6 +74,21 @@ class S2Cells:
         """Cells possibly intersecting the query.  CellUnion queries use
         exact id-range overlap; geometric queries use each cell's
         conservative world AABB."""
+        return [cid for cid, _ in self.nodes_in_location_ex(location)]
+
+    def nodes_in_location_ex(self, location) -> List:
+        """Like nodes_in_location but each entry is (S2CellId, fully_inside).
+
+        fully_inside certifies every point of the cell passes the query's
+        per-point test, so readers may skip per-point filtering:
+        * CellUnion: a storage cell contained in the union (the same
+          id-range test, contains_cell_ids) implies every point's leaf cell
+          — a descendant of the storage cell by splitter assignment — is in
+          the union: bit-exact.
+        * Geometric: the cell's conservative world AABB bounds all its
+          points (splitter-validated Earth radius band, cell_world_bounds),
+          so location.fully_inside_bounds on it is sound; only Aabb queries
+          claim it (see query/location.py)."""
         if len(self.cell_ids) == 0:
             return []
         if isinstance(location, CellUnion) or isinstance(
@@ -81,10 +96,14 @@ class S2Cells:
         ):
             union = location if isinstance(location, CellUnion) else location.geometry
             # Overlap if either contains the other.
-            mask = union.contains_cell_ids(self.cell_ids)
+            inside = union.contains_cell_ids(self.cell_ids)
+            mask = inside.copy()
             for qid in union.ids:
                 mask |= s2.contains(self.cell_ids, np.uint64(qid) * np.ones_like(self.cell_ids))
-            return [S2CellId(c) for c in self.cell_ids[mask]]
+            return [
+                (S2CellId(self.cell_ids[i]), bool(inside[i]))
+                for i in np.nonzero(mask)[0]
+            ]
         lo, hi = self._bounds
         if hasattr(location, "intersects_bounds"):
             mask = location.intersects_bounds(lo, hi)
@@ -101,7 +120,14 @@ class S2Cells:
             rect = s2.LatLngRect.from_points(query_corners())
             sel = np.nonzero(mask)[0]
             mask[sel] &= rect.intersects_cells(self.cell_ids[sel])
-        return [S2CellId(c) for c in self.cell_ids[np.nonzero(mask)[0]]]
+        idx = np.nonzero(mask)[0]
+        fib = getattr(location, "fully_inside_bounds", None)
+        fully = fib(lo[idx], hi[idx]) if (fib is not None and len(idx)) else None
+        if fully is None:
+            fully = np.zeros(len(idx), dtype=bool)
+        return [
+            (S2CellId(self.cell_ids[i]), bool(f)) for i, f in zip(idx, fully)
+        ]
 
     def points_in_node(
         self, node_id: S2CellId, attributes: Optional[Sequence[str]] = None

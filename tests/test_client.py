@@ -175,3 +175,103 @@ def test_rebatcher_exact_and_order_preserving():
         np.testing.assert_array_equal(got, np.arange(total, dtype=np.float64))
         gotv = np.concatenate([b.attributes["v"] for b in out]) if out else np.empty(0)
         np.testing.assert_array_equal(gotv, np.arange(total, dtype=np.float32))
+
+
+def test_fully_inside_shortcut_sound_and_exact(cloud):
+    """nodes_in_location_ex's fully_inside flag must be SOUND: every point
+    of a flagged node passes the query's per-point containment test — so
+    skipping the mask (query/client.py) cannot change results.  A box that
+    strictly contains the whole cloud flags every node; a partial box's
+    flags are verified point-by-point and the streamed result must equal
+    brute force on the raw data."""
+    from point_cloud_viewer_tpu.octree.octree import Octree
+    from point_cloud_viewer_tpu.query.location import location_for
+
+    batch, out = cloud
+    octree = Octree.from_directory(out)
+
+    # Whole-cloud box with margin: every node is fully inside (hi < maxs is
+    # strict because Aabb.contains is half-open at the max).
+    big = Aabb(batch.position.min(axis=0) - 1.0, batch.position.max(axis=0) + 1.0)
+    ex = octree.nodes_in_location_ex(location_for(big))
+    assert ex and all(fully for _, fully in ex)
+
+    # Partial box: verify each flagged node point-by-point.
+    center = batch.position.mean(axis=0)
+    box = Aabb(center - 3.0, center + 3.0)
+    loc = location_for(box)
+    ex = octree.nodes_in_location_ex(loc)
+    assert [nid for nid, _ in ex] == octree.nodes_in_location(loc)
+    for nid, fully in ex:
+        if fully:
+            pts = octree.points_in_node(nid).position
+            assert loc.contains(pts).all()
+
+    # End-to-end: streamed result equals brute force over the DECODED
+    # (quantized) positions — the exact per-point test the client applies
+    # (colors re-identify points; compare as sorted row sets).
+    client = PointCloudClient.from_locations([out], num_threads=2)
+    all_pos, all_col = [], []
+    client.for_each_point_data(
+        PointQuery(attributes=["color"]),
+        lambda b: (all_pos.append(b.position.copy()),
+                   all_col.append(b.attributes["color"].copy())),
+    )
+    all_pos = np.concatenate(all_pos)
+    all_col = np.concatenate(all_col)
+    got = []
+    client.for_each_point_data(
+        PointQuery(attributes=["color"], location=box),
+        lambda b: got.append(b.attributes["color"].copy()),
+    )
+    got = np.concatenate(got) if got else np.empty((0, 3), np.uint8)
+    want = all_col[loc.contains(all_pos)]
+    order = lambda a: a[np.lexsort(a.T)]
+    np.testing.assert_array_equal(order(got), order(want))
+
+
+def test_cell_union_fully_inside_skips_leaf_ids(tmp_path):
+    """For S2 clouds, a storage cell CONTAINED in the query union is flagged
+    fully_inside (bit-exact: every point's leaf cell is a descendant of the
+    storage cell, hence in the union) and the streamed result still equals
+    the per-point brute force."""
+    from point_cloud_viewer_tpu.math import s2 as s2m
+    from point_cloud_viewer_tpu.math.wgs84 import local_frame_from_lat_lng
+    from point_cloud_viewer_tpu.s2_cells.cell_union import CellUnion
+    from point_cloud_viewer_tpu.s2_cells.container import S2Cells
+    from point_cloud_viewer_tpu.s2_cells.splitter import build_s2_cloud
+
+    rng = np.random.default_rng(7)
+    n = 60_000
+    local = (rng.random((n, 3)) - 0.5) * np.array([400.0, 400.0, 30.0])
+    frame = local_frame_from_lat_lng(12.3, 45.6)
+    ecef = frame.inverse().transform_points(local)
+    batch = PointsBatch(
+        position=ecef,
+        attributes={"color": rng.integers(0, 256, (n, 3), dtype=np.uint8)},
+    )
+    out = str(tmp_path / "s2")
+    build_s2_cloud(out, batch)
+
+    leaves = s2m.leaf_cell_ids_from_points(ecef[:200])
+    union = CellUnion(np.unique(s2m.parent(leaves, 15)))
+    cells = S2Cells.from_directory(out)
+    ex = cells.nodes_in_location_ex(union)
+    flags = {str(cid): fully for cid, fully in ex}
+    inside = union.contains_cell_ids(cells.cell_ids)
+    for cid, is_in in zip(cells.cell_ids, inside):
+        tok = s2m.token(cid)
+        if tok in flags:
+            assert flags[tok] == bool(is_in)
+    assert any(flags.values())  # the shortcut actually fires
+
+    client = PointCloudClient.from_locations([out], num_threads=2)
+    got = []
+    client.for_each_point_data(
+        PointQuery(attributes=["color"], location=union),
+        lambda b: got.append(b.attributes["color"].copy()),
+    )
+    got = np.concatenate(got) if got else np.empty((0, 3), np.uint8)
+    want = batch.attributes["color"][union.contains(ecef)]
+    order = lambda a: a[np.lexsort(a.T)]
+    np.testing.assert_array_equal(order(got), order(want))
